@@ -1,0 +1,124 @@
+"""Incremental-learning checkpoint surgery as pytree operations.
+
+Reproduces the reference's load-time key-string surgery (SURVEY.md §2.6;
+train_new_task_step2.py:499-530, train_new_task_step3.py:562-595,
+train_RAPFT_step1.py:482-491) as explicit array ops on the task-stacked
+pytrees — no string rewriting needed at the new framework's native layer.
+
+Rules replicated exactly:
+  1. Step t>1 init (`extend_for_new_task`):
+     - all weights shared with the previous checkpoint are kept verbatim;
+     - the new task's encoder DS slots (RAP convs + BN scale/bias) are seeded
+       from task t-1's (`.{t-1}.weight|bias` duplicated to `.{t}.`), while the
+       new task's BN *running stats* start fresh (the reference only copies
+       weight/bias keys — running_mean/var fall through strict=False);
+     - the new decoder is a copy of decoder t-1 *including* its BN running
+       stats, except `output_conv` which is freshly initialized (class count
+       differs).
+  2. Step 1 init (`load_imagenet_encoder`): ImageNet-pretrained encoder with
+     `module.features.*` keys renamed to `module.*` and merged strict=False —
+     in the RAP model only the shared encoder convs match (per-task bn/adapter
+     names differ from the single-task pretrained encoder).
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import topology as T
+from ..models import blocks as B
+from ..ops.norm import BNState
+from .pth_converter import convert_state_dict, export_state_dict
+
+
+def _append_slot_seeded(arr: jax.Array, fresh: jax.Array | None = None) -> jax.Array:
+    """Append one leading-axis slot, seeded from the last existing slot
+    (or `fresh` when provided)."""
+    new = arr[-1:] if fresh is None else fresh[None]
+    return jnp.concatenate([arr, new], axis=0)
+
+
+def extend_for_new_task(params, state, new_num_classes: int, rng, dtype=jnp.float32):
+    """RAP model: grow nb_tasks -> nb_tasks+1 with the reference init scheme."""
+    t_new = len(params["decoders"])  # index of the new task
+
+    def grow_bn(p, s, seed_params: bool):
+        c = p["scale"].shape[-1]
+        new_p = {
+            "scale": _append_slot_seeded(p["scale"], None if seed_params else jnp.ones(c, dtype)),
+            "bias": _append_slot_seeded(p["bias"], None if seed_params else jnp.zeros(c, dtype)),
+        }
+        # running stats always start fresh for the new task (see module doc)
+        new_s = BNState(
+            mean=_append_slot_seeded(s.mean, jnp.zeros(c, dtype)),
+            var=_append_slot_seeded(s.var, jnp.ones(c, dtype)),
+        )
+        return new_p, new_s
+
+    enc_p, enc_s = params["encoder"], state["encoder"]
+    new_init_bn_p, new_init_bn_s = grow_bn(enc_p["initial"]["bn"], enc_s["initial"]["bn"], True)
+    new_enc_p = {"initial": {"conv": enc_p["initial"]["conv"], "bn": new_init_bn_p}}
+    new_enc_s = {"initial": {"bn": new_init_bn_s}}
+    new_blocks_p, new_blocks_s = [], []
+    for p, s, spec in zip(enc_p["blocks"], enc_s["blocks"], T.ENCODER_PLAN):
+        if spec[0] == "down":
+            bn_p, bn_s = grow_bn(p["bn"], s["bn"], True)
+            new_blocks_p.append({"conv": p["conv"], "bn": bn_p})
+            new_blocks_s.append({"bn": bn_s})
+        else:
+            bn1_p, bn1_s = grow_bn(p["bns1"], s["bns1"], True)
+            bn2_p, bn2_s = grow_bn(p["bns2"], s["bns2"], True)
+            new_blocks_p.append({
+                **{k: p[k] for k in ("conv3x1_1", "conv1x3_1", "conv3x1_2", "conv1x3_2")},
+                "rap1": {"w": _append_slot_seeded(p["rap1"]["w"]),
+                         "b": _append_slot_seeded(p["rap1"]["b"])},
+                "bns1": bn1_p,
+                "rap2": {"w": _append_slot_seeded(p["rap2"]["w"]),
+                         "b": _append_slot_seeded(p["rap2"]["b"])},
+                "bns2": bn2_p,
+            })
+            new_blocks_s.append({"bns1": bn1_s, "bns2": bn2_s})
+    new_enc_p["blocks"] = new_blocks_p
+    new_enc_s["blocks"] = new_blocks_s
+
+    # New decoder: deep-copy of decoder t-1 (params AND running stats,
+    # train_new_task_step2.py:524-528) with a fresh output_conv.
+    prev_dec_p, prev_dec_s = params["decoders"][-1], state["decoders"][-1]
+    new_dec_p = jax.tree.map(lambda a: a, prev_dec_p)
+    new_dec_s = jax.tree.map(lambda a: a, prev_dec_s)
+    new_dec_p = dict(new_dec_p)
+    new_dec_p["output_conv"] = B.conv_transpose_init(rng, 2, 2, 16, new_num_classes, dtype)
+
+    return (
+        {"encoder": new_enc_p, "decoders": [*params["decoders"], new_dec_p]},
+        {"encoder": new_enc_s, "decoders": [*state["decoders"], new_dec_s]},
+    )
+
+
+def merge_state_dict(params, state, sd: dict[str, np.ndarray], *, kind: str):
+    """torch `load_state_dict(..., strict=False)` semantics on pytrees.
+
+    Overlays every key of `sd` that exists (with matching shape) in the
+    reference-format export of (params, state); everything else is kept.
+    """
+    current = export_state_dict(params, state, kind=kind)
+    merged = dict(current)
+    for k, v in sd.items():
+        k = k.removeprefix("module.")
+        if k in merged and tuple(merged[k].shape) == tuple(np.shape(v)):
+            merged[k] = np.asarray(v)
+    nb = len(params["decoders"]) if "decoders" in params else 1
+    return convert_state_dict(merged, kind=kind, nb_tasks=nb)
+
+
+def load_imagenet_encoder(params, state, sd: dict[str, np.ndarray], *, kind: str = "rap"):
+    """Step-1 init: rename `module.features.*` -> `module.*`, merge strict=False
+    (train_RAPFT_step1.py:482-502)."""
+    renamed = {}
+    for k, v in sd.items():
+        nk = k.replace("module.features", "module") if k.startswith("module.features") else k
+        renamed[nk] = v
+    return merge_state_dict(params, state, renamed, kind=kind)

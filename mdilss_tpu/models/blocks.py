@@ -1,0 +1,203 @@
+"""ERFNet building blocks as pure functions over param/state pytrees.
+
+Behavioral spec from the reference model definitions:
+  * DownsamplerBlock = concat(conv3x3/s2 (nout-nin ch), maxpool2x2) -> BN -> relu
+    (reference models/erfnet.py:12-23; RAP variant with per-task `bn_ini`,
+    models/erfnet_RA_parallel.py:13-25).
+  * non_bottleneck_1d = 3x1 -> relu -> 1x3 -> BN -> relu -> 3x1(dil) -> relu
+    -> 1x3(dil) -> BN -> dropout2d -> relu(out + residual)
+    (models/erfnet.py:26-62).
+  * non_bottleneck_1d_RAP inserts `out += rap_k[task](block_input)` 1x1 convs
+    before each BN and makes both BNs per-task
+    (models/erfnet_RA_parallel.py:67-113).
+  * UpsamplerBlock = ConvTranspose2d(3, s2, p1, op1) -> BN -> relu
+    (models/erfnet.py:97-107).
+
+TPU-first choices: NHWC layout; domain-specific (DS) leaves carry a leading
+task axis [T, ...] so incremental-step surgery is array indexing; the task
+index is a *static* Python int at trace time (3 heads => at most 3 compiled
+variants, the encoder math itself is identical so XLA caches aggressively).
+
+Initialization matches torch defaults (kaiming-uniform a=sqrt(5) => bound
+1/sqrt(fan_in) for both weight and bias) so from-scratch training follows the
+same distributional recipe as the reference.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import batch_norm_apply, bn_init, conv2d, conv_transpose2d, dropout2d, maxpool2d
+from ..ops.norm import BNState
+
+Params = dict[str, Any]
+State = dict[str, Any]
+
+BN_EPS = 1e-3  # reference uses eps=1e-3 on every BN (models/erfnet.py:18)
+
+
+# ---------------------------------------------------------------------------
+# Initializers (torch nn.Conv2d / nn.ConvTranspose2d defaults)
+# ---------------------------------------------------------------------------
+
+def conv_init(rng, kh: int, kw: int, cin: int, cout: int, dtype=jnp.float32) -> Params:
+    """U(-1/sqrt(fan_in), +1/sqrt(fan_in)) for weight [kh,kw,cin,cout] and bias."""
+    fan_in = cin * kh * kw
+    bound = 1.0 / math.sqrt(fan_in)
+    kw_rng, b_rng = jax.random.split(rng)
+    return {
+        "w": jax.random.uniform(kw_rng, (kh, kw, cin, cout), dtype, -bound, bound),
+        "b": jax.random.uniform(b_rng, (cout,), dtype, -bound, bound),
+    }
+
+
+def conv_transpose_init(rng, kh: int, kw: int, cin: int, cout: int, dtype=jnp.float32) -> Params:
+    """Torch ConvTranspose2d default: fan computed positionally on the
+    (cin, cout, kh, kw) weight, i.e. fan_in = cout * kh * kw."""
+    fan_in = cout * kh * kw
+    bound = 1.0 / math.sqrt(fan_in)
+    kw_rng, b_rng = jax.random.split(rng)
+    return {
+        "w": jax.random.uniform(kw_rng, (kh, kw, cin, cout), dtype, -bound, bound),
+        "b": jax.random.uniform(b_rng, (cout,), dtype, -bound, bound),
+    }
+
+
+def stacked_conv1x1_init(rng, nb_tasks: int, ch: int, dtype=jnp.float32) -> Params:
+    """Per-task RAP 1x1 convs stacked on a leading task axis [T,1,1,C,C]."""
+    rngs = jax.random.split(rng, nb_tasks)
+    inits = [conv_init(r, 1, 1, ch, ch, dtype) for r in rngs]
+    return {
+        "w": jnp.stack([i["w"] for i in inits]),
+        "b": jnp.stack([i["b"] for i in inits]),
+    }
+
+
+# ---------------------------------------------------------------------------
+# BN helpers for optionally task-stacked layers
+# ---------------------------------------------------------------------------
+
+def _bn_apply(p: Params, s: BNState, x, *, task: int | None, training: bool):
+    """Apply BN; if `task` is given, params/state have a leading task axis."""
+    if task is None:
+        return batch_norm_apply(x, p["scale"], p["bias"], s, eps=BN_EPS, training=training)
+    sub = BNState(mean=s.mean[task], var=s.var[task])
+    out, new_sub = batch_norm_apply(
+        x, p["scale"][task], p["bias"][task], sub, eps=BN_EPS, training=training
+    )
+    if training:
+        s = BNState(mean=s.mean.at[task].set(new_sub.mean), var=s.var.at[task].set(new_sub.var))
+    return out, s
+
+
+# ---------------------------------------------------------------------------
+# DownsamplerBlock
+# ---------------------------------------------------------------------------
+
+def downsampler_init(rng, nin: int, nout: int, nb_tasks: int | None, dtype=jnp.float32):
+    bn_p, bn_s = bn_init(nout, nb_tasks, dtype)
+    return (
+        {"conv": conv_init(rng, 3, 3, nin, nout - nin, dtype), "bn": bn_p},
+        {"bn": bn_s},
+    )
+
+
+def downsampler_apply(p: Params, s: State, x, *, task: int | None, training: bool):
+    conv = conv2d(x, p["conv"]["w"], p["conv"]["b"], stride=2, padding=1)
+    pool = maxpool2d(x, 2, 2)
+    out = jnp.concatenate([conv, pool], axis=-1)  # conv channels first, as in torch.cat
+    out, bn_s = _bn_apply(p["bn"], s["bn"], out, task=task, training=training)
+    return jax.nn.relu(out), {"bn": bn_s}
+
+
+# ---------------------------------------------------------------------------
+# non_bottleneck_1d (plain, used in all decoders + plain encoders)
+# ---------------------------------------------------------------------------
+
+def nb1d_init(rng, ch: int, dilated: int, dtype=jnp.float32):
+    r = jax.random.split(rng, 4)
+    bn1_p, bn1_s = bn_init(ch, None, dtype)
+    bn2_p, bn2_s = bn_init(ch, None, dtype)
+    params = {
+        "conv3x1_1": conv_init(r[0], 3, 1, ch, ch, dtype),
+        "conv1x3_1": conv_init(r[1], 1, 3, ch, ch, dtype),
+        "bn1": bn1_p,
+        "conv3x1_2": conv_init(r[2], 3, 1, ch, ch, dtype),
+        "conv1x3_2": conv_init(r[3], 1, 3, ch, ch, dtype),
+        "bn2": bn2_p,
+    }
+    return params, {"bn1": bn1_s, "bn2": bn2_s}
+
+
+def nb1d_apply(p: Params, s: State, x, *, dilated: int, dropprob: float, training: bool, rng=None):
+    out = jax.nn.relu(conv2d(x, p["conv3x1_1"]["w"], p["conv3x1_1"]["b"], padding=(1, 0)))
+    out = conv2d(out, p["conv1x3_1"]["w"], p["conv1x3_1"]["b"], padding=(0, 1))
+    out, bn1_s = _bn_apply(p["bn1"], s["bn1"], out, task=None, training=training)
+    out = jax.nn.relu(out)
+    out = jax.nn.relu(
+        conv2d(out, p["conv3x1_2"]["w"], p["conv3x1_2"]["b"], padding=(dilated, 0), dilation=(dilated, 1))
+    )
+    out = conv2d(out, p["conv1x3_2"]["w"], p["conv1x3_2"]["b"], padding=(0, dilated), dilation=(1, dilated))
+    out, bn2_s = _bn_apply(p["bn2"], s["bn2"], out, task=None, training=training)
+    out = dropout2d(out, dropprob, rng, training=training)
+    return jax.nn.relu(out + x), {"bn1": bn1_s, "bn2": bn2_s}
+
+
+# ---------------------------------------------------------------------------
+# non_bottleneck_1d_RAP (encoder block with per-task adapters + BN)
+# ---------------------------------------------------------------------------
+
+def nb1d_rap_init(rng, ch: int, dilated: int, nb_tasks: int, dtype=jnp.float32):
+    r = jax.random.split(rng, 6)
+    bn1_p, bn1_s = bn_init(ch, nb_tasks, dtype)
+    bn2_p, bn2_s = bn_init(ch, nb_tasks, dtype)
+    params = {
+        "conv3x1_1": conv_init(r[0], 3, 1, ch, ch, dtype),
+        "conv1x3_1": conv_init(r[1], 1, 3, ch, ch, dtype),
+        "rap1": stacked_conv1x1_init(r[2], nb_tasks, ch, dtype),
+        "bns1": bn1_p,
+        "conv3x1_2": conv_init(r[3], 3, 1, ch, ch, dtype),
+        "conv1x3_2": conv_init(r[4], 1, 3, ch, ch, dtype),
+        "rap2": stacked_conv1x1_init(r[5], nb_tasks, ch, dtype),
+        "bns2": bn2_p,
+    }
+    return params, {"bns1": bn1_s, "bns2": bn2_s}
+
+
+def nb1d_rap_apply(
+    p: Params, s: State, x, *, task: int, dilated: int, dropprob: float, training: bool, rng=None
+):
+    out = jax.nn.relu(conv2d(x, p["conv3x1_1"]["w"], p["conv3x1_1"]["b"], padding=(1, 0)))
+    out = conv2d(out, p["conv1x3_1"]["w"], p["conv1x3_1"]["b"], padding=(0, 1))
+    out = out + conv2d(x, p["rap1"]["w"][task], p["rap1"]["b"][task])
+    out, bn1_s = _bn_apply(p["bns1"], s["bns1"], out, task=task, training=training)
+    mid = jax.nn.relu(out)
+    out = jax.nn.relu(
+        conv2d(mid, p["conv3x1_2"]["w"], p["conv3x1_2"]["b"], padding=(dilated, 0), dilation=(dilated, 1))
+    )
+    out = conv2d(out, p["conv1x3_2"]["w"], p["conv1x3_2"]["b"], padding=(0, dilated), dilation=(1, dilated))
+    out = out + conv2d(mid, p["rap2"]["w"][task], p["rap2"]["b"][task])
+    out, bn2_s = _bn_apply(p["bns2"], s["bns2"], out, task=task, training=training)
+    out = dropout2d(out, dropprob, rng, training=training)
+    return jax.nn.relu(out + x), {"bns1": bn1_s, "bns2": bn2_s}
+
+
+# ---------------------------------------------------------------------------
+# UpsamplerBlock
+# ---------------------------------------------------------------------------
+
+def upsampler_init(rng, nin: int, nout: int, dtype=jnp.float32):
+    bn_p, bn_s = bn_init(nout, None, dtype)
+    return (
+        {"conv": conv_transpose_init(rng, 3, 3, nin, nout, dtype), "bn": bn_p},
+        {"bn": bn_s},
+    )
+
+
+def upsampler_apply(p: Params, s: State, x, *, training: bool):
+    out = conv_transpose2d(x, p["conv"]["w"], p["conv"]["b"], stride=2, padding=1, output_padding=1)
+    out, bn_s = _bn_apply(p["bn"], s["bn"], out, task=None, training=training)
+    return jax.nn.relu(out), {"bn": bn_s}

@@ -1,0 +1,26 @@
+"""Test env: force CPU backend with 8 virtual devices (SURVEY.md §4).
+
+Must run before jax is imported anywhere, hence module-level env mutation in
+conftest. The multi-chip sharding tests exercise the same mesh/pjit code paths
+that run on a real TPU slice.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+# A site-installed PJRT plugin (if any) may have force-registered a TPU
+# backend before this file runs; the config update below wins regardless.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
