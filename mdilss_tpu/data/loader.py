@@ -1,0 +1,134 @@
+"""Host input pipeline: multithreaded decode + prefetch, static-shape batches.
+
+The reference fed each GPU from 4 forked DataLoader workers
+(train_RAPFT_step1.py:152-155). Here a thread pool decodes PIL images (PIL
+releases the GIL during decode/resize) into pinned numpy batches and a
+bounded prefetch queue overlaps host decode with device compute; the device
+side (normalize/augment/relabel) lives inside the jitted train step
+(transforms.py), so batches cross H2D as uint8.
+
+Static shapes: JAX recompiles on shape change, so the last partial batch of an
+epoch is dropped when `drop_last` (default for training; the reference kept
+partial batches — a <=0.2% difference in seen samples per epoch). Evaluation
+uses drop_last=False with a final padded batch + validity mask.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator
+
+import numpy as np
+
+from .sources import Source
+from .transforms import decode_pair
+
+
+class SyntheticSource:
+    """Deterministic random data with the same interface as an indexed Source;
+    used by tests and benchmarks (no dataset download in CI)."""
+
+    def __init__(self, num_classes: int, n: int = 64, height: int = 512, width: int = 1024, seed: int = 0):
+        self.name = f"synthetic{num_classes}"
+        self.num_classes = num_classes
+        self._n = n
+        self._h, self._w = height, width
+        self._seed = seed
+
+    def __len__(self):
+        return self._n
+
+    def decode(self, idx: int, height: int, width: int):
+        rng = np.random.default_rng(self._seed * 100003 + idx)
+        img = rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+        lbl = rng.integers(0, self.num_classes, size=(height, width)).astype(np.uint8)
+        # sprinkle ignore pixels like real data
+        lbl[rng.random((height, width)) < 0.05] = 255
+        return img, lbl
+
+
+class Loader:
+    """Iterable over uint8 (images [N,H,W,3], labels [N,H,W]) numpy batches.
+
+    Deterministic per-epoch shuffling: epoch e uses rng(seed + e), so resume
+    reproduces the exact batch order of the reference's epoch loop.
+    """
+
+    def __init__(
+        self,
+        source: Source | SyntheticSource,
+        *,
+        batch_size: int,
+        height: int = 512,
+        width: int = 1024,
+        shuffle: bool = False,
+        drop_last: bool | None = None,
+        num_threads: int = 8,
+        prefetch: int = 4,
+        seed: int = 0,
+    ):
+        self.source = source
+        self.batch_size = batch_size
+        self.height = height
+        self.width = width
+        self.shuffle = shuffle
+        self.drop_last = shuffle if drop_last is None else drop_last
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self):
+        n = len(self.source)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _decode(self, idx: int):
+        if isinstance(self.source, SyntheticSource):
+            return self.source.decode(idx, self.height, self.width)
+        img_path, lbl_path = self.source.pairs[idx]
+        return decode_pair(
+            img_path, lbl_path,
+            height=self.height, width=self.width,
+            label_map=getattr(self.source, "label_map", None),
+        )
+
+    def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Yields (images, labels, valid_mask). valid_mask is all-ones except
+        for a padded final batch (drop_last=False)."""
+        order = np.arange(len(self.source))
+        if self.shuffle:
+            np.random.default_rng(self.seed + self.epoch).shuffle(order)
+        nb = len(self)
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_threads) as pool:
+                for b in range(nb):
+                    if stop.is_set():
+                        return
+                    idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+                    valid = np.ones(self.batch_size, bool)
+                    if len(idxs) < self.batch_size:  # padded final batch
+                        valid[len(idxs) :] = False
+                        idxs = np.concatenate([idxs, np.zeros(self.batch_size - len(idxs), np.int64)])
+                    pairs = list(pool.map(self._decode, idxs))
+                    images = np.stack([p[0] for p in pairs])
+                    labels = np.stack([p[1] for p in pairs])
+                    q.put((images, labels, valid))
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()

@@ -1,0 +1,199 @@
+"""Jittable train/eval steps for every training protocol of the reference.
+
+Each maker closes over static configuration (task indices, class weights, the
+LR tree, schedule length) and returns a pure function suitable for `jax.jit`
+(the trainer loop jits it once with donated train state). Teacher and student
+run inside the same step — the reference's step-3 GPU3->CPU->GPU0 activation
+shipping (train_new_task_step3.py:310-340) disappears entirely on TPU.
+
+Protocol fidelity notes:
+  * Student forwards on *previous* tasks run in training mode (batch-stat BN +
+    active dropout) exactly like the reference's `model(inputs, task-1)` under
+    model.train() (train_new_task_step2.py:285-291); the teacher runs in eval
+    mode (`model_old.eval()`, :272).
+  * BN running stats thread through the forwards in reference order (current
+    task first, then previous tasks newest-to-oldest).
+  * Step 3's two optimizer steps per batch — CE first, then the summed KLDs
+    against the *already-updated* weights (train_new_task_step3.py:317-356) —
+    are reproduced by `make_two_phase_distill_step`. The fused single-backward
+    variant (`make_distill_step` with 2 prev tasks) is the recommended fast
+    path; fidelity is a flag, not a rewrite.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..losses import kld_faithful, weighted_cross_entropy
+from ..metrics import confusion_matrix
+from .optim import AdamState, apply_updates, poly_lr_factor
+from . import optim
+
+
+class TrainState(NamedTuple):
+    params: Any
+    bn: Any  # BatchNorm running-stats pytree
+    opt: AdamState
+
+
+class ModelState(NamedTuple):
+    """Frozen teacher: params + BN running stats."""
+
+    params: Any
+    bn: Any
+
+
+def init_train_state(params, bn) -> TrainState:
+    return TrainState(params=params, bn=bn, opt=optim.init(params))
+
+
+# Apply signature used throughout: apply_fn(params, bn, x, task, training=..., rng=...)
+ApplyFn = Callable[..., tuple[jax.Array, Any]]
+
+
+def _split(rng, n: int):
+    """Split an optional PRNG key; rng=None disables dropout deterministically
+    (used for trajectory-parity tests and would-be inference-time training)."""
+    if rng is None:
+        return [None] * n
+    return list(jax.random.split(rng, n))
+
+
+def make_ce_step(
+    apply_fn: ApplyFn,
+    *,
+    task: int,
+    class_weight: jax.Array,
+    lr_tree,
+    num_epochs: int,
+    weight_decay: float = 1e-4,
+):
+    """Plain weighted-CE training step (step 1 / multi-task domain turn / FT).
+
+    step(ts, images, labels, rng, epoch) -> (ts', metrics)
+    """
+
+    def step(ts: TrainState, images, labels, rng, epoch):
+        def loss_fn(p):
+            logits, new_bn = apply_fn(p, ts.bn, images, task, training=True, rng=rng)
+            return weighted_cross_entropy(logits, labels, class_weight), new_bn
+
+        (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params)
+        new_p, new_opt = apply_updates(
+            ts.params, grads, ts.opt, lr_tree,
+            lr_scale=poly_lr_factor(epoch, num_epochs), weight_decay=weight_decay,
+        )
+        return TrainState(new_p, new_bn, new_opt), {"loss": loss, "ce": loss}
+
+    return step
+
+
+def make_distill_step(
+    apply_fn: ApplyFn,
+    *,
+    current_task: int,
+    prev_tasks: Sequence[int],
+    class_weight: jax.Array,
+    lr_tree,
+    num_epochs: int,
+    lambda_c: float = 0.1,
+    kld_fn=kld_faithful,
+    weight_decay: float = 1e-4,
+):
+    """Single-backward distillation step (the proposed method's step 2; also
+    the fused fast path for step 3): total = CE + lambda_c * sum KLD_prev
+    (train_new_task_step2.py:285-306).
+
+    step(ts, teacher, images, labels, rng, epoch) -> (ts', metrics)
+    """
+
+    def step(ts: TrainState, teacher: ModelState, images, labels, rng, epoch):
+        rngs = _split(rng, 1 + len(prev_tasks))
+
+        def loss_fn(p):
+            bn = ts.bn
+            logits, bn = apply_fn(p, bn, images, current_task, training=True, rng=rngs[0])
+            ce = weighted_cross_entropy(logits, labels, class_weight)
+            kld = jnp.float32(0.0)
+            for i, t in enumerate(prev_tasks):
+                s_logits, bn = apply_fn(p, bn, images, t, training=True, rng=rngs[1 + i])
+                t_logits, _ = apply_fn(teacher.params, teacher.bn, images, t, training=False)
+                kld = kld + kld_fn(s_logits, jax.lax.stop_gradient(t_logits))
+            return ce + lambda_c * kld, (bn, ce, kld)
+
+        (total, (new_bn, ce, kld)), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params)
+        new_p, new_opt = apply_updates(
+            ts.params, grads, ts.opt, lr_tree,
+            lr_scale=poly_lr_factor(epoch, num_epochs), weight_decay=weight_decay,
+        )
+        return TrainState(new_p, new_bn, new_opt), {"loss": total, "ce": ce, "kld": kld}
+
+    return step
+
+
+def make_two_phase_distill_step(
+    apply_fn: ApplyFn,
+    *,
+    current_task: int,
+    prev_tasks: Sequence[int],
+    class_weight: jax.Array,
+    lr_tree,
+    num_epochs: int,
+    lambda_c: float = 0.1,
+    kld_fn=kld_faithful,
+    weight_decay: float = 1e-4,
+):
+    """Faithful step-3 trajectory: backward+Adam on CE, then backward+Adam on
+    lambda_c * (sum of previous-task KLDs) against the updated weights —
+    two optimizer steps per batch (train_new_task_step3.py:317-356).
+
+    step(ts, teacher, images, labels, rng, epoch) -> (ts', metrics)
+    """
+
+    def step(ts: TrainState, teacher: ModelState, images, labels, rng, epoch):
+        rngs = _split(rng, 1 + len(prev_tasks))
+        lr_scale = poly_lr_factor(epoch, num_epochs)
+
+        def ce_loss(p):
+            logits, bn = apply_fn(p, ts.bn, images, current_task, training=True, rng=rngs[0])
+            return weighted_cross_entropy(logits, labels, class_weight), bn
+
+        (ce, bn1), g1 = jax.value_and_grad(ce_loss, has_aux=True)(ts.params)
+        p1, opt1 = apply_updates(
+            ts.params, g1, ts.opt, lr_tree, lr_scale=lr_scale, weight_decay=weight_decay
+        )
+
+        def kd_loss(p):
+            bn = bn1
+            kld = jnp.float32(0.0)
+            for i, t in enumerate(prev_tasks):
+                s_logits, bn = apply_fn(p, bn, images, t, training=True, rng=rngs[1 + i])
+                t_logits, _ = apply_fn(teacher.params, teacher.bn, images, t, training=False)
+                kld = kld + kld_fn(s_logits, jax.lax.stop_gradient(t_logits))
+            return lambda_c * kld, (bn, kld)
+
+        (kd, (bn2, kld)), g2 = jax.value_and_grad(kd_loss, has_aux=True)(p1)
+        p2, opt2 = apply_updates(
+            p1, g2, opt1, lr_tree, lr_scale=lr_scale, weight_decay=weight_decay
+        )
+        return TrainState(p2, bn2, opt2), {"loss": ce + kd, "ce": ce, "kld": kld}
+
+    return step
+
+
+def make_eval_step(apply_fn: ApplyFn, *, task: int, class_weight: jax.Array, num_classes: int):
+    """Fused eval step: forward -> weighted CE -> argmax -> confusion matrix,
+    all on device. The host accumulates [C,C] int32 matrices (metrics.py).
+
+    step(params, bn, images, labels) -> (loss, cm)
+    """
+
+    def step(params, bn, images, labels):
+        logits, _ = apply_fn(params, bn, images, task, training=False)
+        loss = weighted_cross_entropy(logits, labels, class_weight)
+        preds = jnp.argmax(logits, axis=-1)
+        return loss, confusion_matrix(preds, labels, num_classes=num_classes)
+
+    return step

@@ -1,0 +1,138 @@
+"""Data-pipeline tests: augmentation vs the PIL oracle, sources, loader,
+class weights."""
+import os
+
+import numpy as np
+import pytest
+from PIL import Image, ImageOps
+
+import jax
+import jax.numpy as jnp
+
+from mdilss_tpu.data import (
+    CLASS_WEIGHTS,
+    Loader,
+    SyntheticSource,
+    compute_class_weights,
+    make_source,
+)
+from mdilss_tpu.data.transforms import _translate2d, augment_batch, prepare_batch
+
+
+def _pil_translate(arr: np.ndarray, tx: int, ty: int, fill: int) -> np.ndarray:
+    """The reference's exact translation (train_RAPFT_step1.py:66-73):
+    ImageOps.expand(border=(tx, ty, 0, 0), fill) then crop back to size."""
+    img = Image.fromarray(arr)
+    img = ImageOps.expand(img, border=(tx, ty, 0, 0), fill=fill)
+    img = img.crop((0, 0, img.size[0] - tx, img.size[1] - ty))
+    return np.asarray(img)
+
+
+@pytest.mark.parametrize("tx", [-2, -1, 0, 1, 2])
+@pytest.mark.parametrize("ty", [-2, 0, 2])
+@pytest.mark.parametrize("fill", [0, 255])
+def test_translate_matches_pil_reference(rng, tx, ty, fill):
+    arr = rng.integers(0, 255, size=(8, 12), dtype=np.uint8)
+    ref = _pil_translate(arr, tx, ty, fill)
+    got = np.asarray(_translate2d(jnp.asarray(arr), jnp.int32(tx), jnp.int32(ty), fill))
+    np.testing.assert_array_equal(got, ref, err_msg=f"tx={tx} ty={ty} fill={fill}")
+
+
+def test_prepare_batch_normalize_and_relabel(rng):
+    imgs = rng.integers(0, 256, size=(2, 4, 6, 3), dtype=np.uint8)
+    lbls = rng.integers(0, 20, size=(2, 4, 6)).astype(np.uint8)
+    lbls[0, 0, 0] = 255
+    x, y = prepare_batch(jnp.asarray(imgs), jnp.asarray(lbls), num_classes=20)
+    np.testing.assert_allclose(np.asarray(x), imgs.astype(np.float32) / 255.0)
+    assert int(y[0, 0, 0]) == 19
+    assert y.dtype == jnp.int32
+
+
+def test_augment_batch_shapes_and_determinism(rng):
+    imgs = rng.integers(0, 256, size=(4, 16, 24, 3), dtype=np.uint8)
+    lbls = rng.integers(0, 20, size=(4, 16, 24)).astype(np.uint8)
+    x1, y1 = augment_batch(jnp.asarray(imgs), jnp.asarray(lbls), jax.random.key(0), num_classes=20)
+    x2, y2 = augment_batch(jnp.asarray(imgs), jnp.asarray(lbls), jax.random.key(0), num_classes=20)
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    x3, _ = augment_batch(jnp.asarray(imgs), jnp.asarray(lbls), jax.random.key(1), num_classes=20)
+    assert not np.array_equal(np.asarray(x1), np.asarray(x3))
+    assert x1.shape == (4, 16, 24, 3) and y1.shape == (4, 16, 24)
+
+
+def test_augment_flip_applies_to_image_and_label_together(rng):
+    # With translation bounded at +-2 px, flipped pairs stay aligned:
+    # where a sample is flipped, its label must be the flipped label modulo
+    # the border pixels. Use interior region to check.
+    imgs = np.tile(np.arange(24, dtype=np.uint8)[None, None, :, None], (8, 16, 1, 3))
+    lbls = np.tile(np.arange(24, dtype=np.uint8)[None, None, :], (8, 16, 1))
+    x, y = augment_batch(jnp.asarray(imgs), jnp.asarray(lbls), jax.random.key(5), num_classes=30)
+    x, y = np.asarray(x), np.asarray(y)
+    interior = (slice(None), slice(4, 12), slice(4, 20))
+    np.testing.assert_allclose(x[..., 0][interior] * 255.0, y[interior], atol=1e-4)
+
+
+def _make_cityscapes_tree(tmp_path):
+    for city in ("bremen", "aachen"):
+        (tmp_path / "leftImg8bit" / "train" / city).mkdir(parents=True)
+        (tmp_path / "gtFine" / "train" / city).mkdir(parents=True)
+        for i in range(2):
+            img = Image.fromarray(np.zeros((8, 16, 3), np.uint8))
+            img.save(tmp_path / "leftImg8bit" / "train" / city / f"{city}_{i:06d}_leftImg8bit.png")
+            lbl = Image.fromarray(np.zeros((8, 16), np.uint8))
+            lbl.save(tmp_path / "gtFine" / "train" / city / f"{city}_{i:06d}_gtFine_labelTrainIds.png")
+            # decoys that must be ignored by the suffix filter
+            lbl.save(tmp_path / "gtFine" / "train" / city / f"{city}_{i:06d}_gtFine_labelIds.png")
+
+
+def test_cityscapes_index_conventions(tmp_path):
+    _make_cityscapes_tree(tmp_path)
+    src = make_source("cityscapes", str(tmp_path), "train")
+    assert len(src) == 4
+    # sorted and pairwise-aligned
+    for img, lbl in src.pairs:
+        assert os.path.basename(img).replace("_leftImg8bit.png", "") == \
+            os.path.basename(lbl).replace("_gtFine_labelTrainIds.png", "")
+    assert src.pairs == sorted(src.pairs)
+
+
+def test_loader_shuffle_determinism_and_padding():
+    src = SyntheticSource(num_classes=20, n=10, height=8, width=16)
+    ld = Loader(src, batch_size=4, height=8, width=16, shuffle=True, seed=3)
+    ld.set_epoch(1)
+    b1 = [im.copy() for im, _, _ in ld]
+    ld.set_epoch(1)
+    b2 = [im.copy() for im, _, _ in ld]
+    for a, b in zip(b1, b2):
+        np.testing.assert_array_equal(a, b)
+    assert len(b1) == 2  # drop_last defaults True when shuffling: 10 // 4
+
+    ld_eval = Loader(src, batch_size=4, height=8, width=16, shuffle=False)
+    batches = list(ld_eval)
+    assert len(batches) == 3
+    _, _, valid = batches[-1]
+    np.testing.assert_array_equal(valid, [True, True, False, False])
+
+
+def test_class_weight_formula():
+    # one dominant class => low weight; rare class => near 1/ln(1.1)
+    labels = [np.full((10, 10), 0, np.uint8)]
+    labels.append(np.array([[1] + [0] * 99], np.uint8).reshape(10, 10))
+    w = compute_class_weights(labels, num_classes=3)
+    assert w[2] == 0.0  # ignore class
+    assert w[1] > w[0]
+    np.testing.assert_allclose(w[0], 1 / np.log(1.1 + 199 / 200), rtol=1e-6)
+    np.testing.assert_allclose(w[1], 1 / np.log(1.1 + 1 / 200), rtol=1e-6)
+
+
+def test_reference_weight_tables():
+    assert CLASS_WEIGHTS["cityscapes"].shape == (20,)
+    assert CLASS_WEIGHTS["BDD"].shape == (20,)
+    assert CLASS_WEIGHTS["IDD"].shape == (27,)
+    for w in CLASS_WEIGHTS.values():
+        assert w[-1] == 0.0  # ignore class zeroed
+        assert (w[:-1] > 0).all()
+    # spot values from train_new_task_step2.py:121-131
+    np.testing.assert_allclose(CLASS_WEIGHTS["cityscapes"][0], 2.8159904084894922)
+    np.testing.assert_allclose(CLASS_WEIGHTS["IDD"][26], 0.0)
+    np.testing.assert_allclose(CLASS_WEIGHTS["BDD"][10], 4.142994047786311)

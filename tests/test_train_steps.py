@@ -1,0 +1,253 @@
+"""Train-step tests: freeze semantics, loss descent, and full trajectory
+parity of the step-2 distillation protocol against a torch oracle.
+
+The torch oracle implements the *spec* of SURVEY.md §3.2 (3 forwards, weighted
+CE + 0.1 * faithful KLD, Adam with 5e-6/5e-4 groups, poly LambdaLR) using the
+reference nn.Module as the network; we then check our single jitted step
+reproduces the same parameter trajectory from the same init and batches.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F
+
+from _reference_loader import load_reference_module
+from mdilss_tpu.ckpt import convert_state_dict
+from mdilss_tpu.ckpt.pth_converter import export_state_dict
+from mdilss_tpu.models import erfnet_rap
+from mdilss_tpu.train import masks, optim, steps
+
+
+def _np_state_dict(model):
+    return {k: v.detach().numpy().copy() for k, v in model.state_dict().items()}
+
+
+def _disable_dropout(model):
+    for m in model.modules():
+        if isinstance(m, torch.nn.Dropout2d):
+            m.p = 0
+
+
+@pytest.fixture(scope="module")
+def ref_mod():
+    return load_reference_module("models/erfnet_RA_parallel.py")
+
+
+def test_step2_trajectory_matches_torch_oracle(ref_mod, rng):
+    C = 20
+    student_t = ref_mod.Net([C, C], nb_tasks=2, cur_task=1)
+    teacher_t = ref_mod.Net([C], nb_tasks=1, cur_task=0)
+    student_t.train()
+    teacher_t.eval()
+    _disable_dropout(student_t)
+    _disable_dropout(teacher_t)
+
+    s_params, s_bn = convert_state_dict(_np_state_dict(student_t), kind="rap", nb_tasks=2)
+    t_params, t_bn = convert_state_dict(_np_state_dict(teacher_t), kind="rap", nb_tasks=1)
+
+    weight = rng.random(C, dtype=np.float32) * 5 + 0.5
+    weight[C - 1] = 0.0
+
+    # ---- torch oracle: the reference protocol (SURVEY.md §3.2) ----
+    shared, ds = [], []
+    for n, p in student_t.named_parameters():
+        if "encoder" in n and "parallel_conv" not in n and "bn" not in n:
+            shared.append(p)
+        elif "decoder.1" in n or (
+            "encoder" in n
+            and ("bn" in n or "parallel_conv" in n)
+            and (".1.weight" in n or ".1.bias" in n)
+        ):
+            ds.append(p)
+    topt = torch.optim.Adam(
+        [{"params": shared, "lr": 5e-6}, {"params": ds}],
+        5e-4, (0.9, 0.999), eps=1e-8, weight_decay=1e-4,
+    )
+    sched = torch.optim.lr_scheduler.LambdaLR(topt, lambda e: (1 - (e - 1) / 150) ** 0.9)
+    sched.step(1)
+    tw = torch.from_numpy(weight.copy())
+    kl = torch.nn.KLDivLoss()
+
+    batches = [
+        (
+            rng.standard_normal((2, 32, 64, 3), dtype=np.float32),
+            rng.integers(0, C, size=(2, 32, 64)),
+        )
+        for _ in range(2)
+    ]
+    torch_losses = []
+    torch_grads_batch1 = None
+    for bi, (x, y) in enumerate(batches):
+        tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+        ty = torch.from_numpy(y)
+        out = student_t(tx, 1)
+        out_prev = student_t(tx, 0)
+        with torch.no_grad():
+            out_prev_t = teacher_t(tx, 0)
+        ce = torch.nn.NLLLoss(tw)(F.log_softmax(out, dim=1), ty)
+        kld = kl(F.softmax(out_prev, dim=1), F.softmax(out_prev_t, dim=1))
+        total = ce + 0.1 * kld
+        topt.zero_grad()
+        total.backward()
+        if bi == 0:
+            torch_grads_batch1 = {
+                n: p.grad.numpy().copy()
+                for n, p in student_t.named_parameters()
+                if p.grad is not None
+            }
+        topt.step()
+        torch_losses.append((ce.item(), kld.item()))
+
+    # ---- our single jitted step ----
+    lr_tree = masks.rap_lr_tree(s_params, current_task=1, shared_lr=5e-6, ds_lr=5e-4)
+    step = steps.make_distill_step(
+        erfnet_rap.apply,
+        current_task=1,
+        prev_tasks=(0,),
+        class_weight=jnp.asarray(weight),
+        lr_tree=lr_tree,
+        num_epochs=150,
+        lambda_c=0.1,
+    )
+    ts = steps.init_train_state(s_params, s_bn)
+    teacher = steps.ModelState(t_params, t_bn)
+    our_losses = []
+    for x, y in batches:
+        ts, metrics = step(ts, teacher, jnp.asarray(x), jnp.asarray(y), None, 1)
+        our_losses.append((float(metrics["ce"]), float(metrics["kld"])))
+
+    # batch 1 compares fresh states tightly; batch 2 sees the O(1e-4) param
+    # noise from batch 1's Adam step, so its loss tolerance is looser
+    np.testing.assert_allclose(our_losses[0][0], torch_losses[0][0], rtol=1e-4)
+    np.testing.assert_allclose(our_losses[0][1], torch_losses[0][1], atol=1e-6)
+    np.testing.assert_allclose(our_losses[1][0], torch_losses[1][0], rtol=1e-3)
+    np.testing.assert_allclose(our_losses[1][1], torch_losses[1][1], atol=1e-5)
+
+    # --- gradient parity on batch 1 (pre-Adam: no sign-noise amplification) ---
+    from mdilss_tpu.losses import kld_faithful, weighted_cross_entropy
+
+    def loss_fn(p):
+        bn = s_bn
+        logits, bn = erfnet_rap.apply(p, bn, jnp.asarray(batches[0][0]), 1, training=True, rng=None)
+        ce = weighted_cross_entropy(logits, jnp.asarray(batches[0][1]), jnp.asarray(weight))
+        s_log, bn = erfnet_rap.apply(p, bn, jnp.asarray(batches[0][0]), 0, training=True, rng=None)
+        t_log, _ = erfnet_rap.apply(t_params, t_bn, jnp.asarray(batches[0][0]), 0, training=False)
+        return ce + 0.1 * kld_faithful(s_log, t_log)
+
+    our_grads = jax.grad(loss_fn)(s_params)
+    got_grads = export_state_dict(our_grads, s_bn, kind="rap")  # state part ignored
+    checked = 0
+    for k, tg in torch_grads_batch1.items():
+        scale = np.abs(tg).max()
+        # This is a *structural* check (missing loss path / wrong weighting /
+        # wrong layout shows up as O(1) relative error). Tighter bounds are
+        # noise-dominated: through 34 training-mode BN layers, torch's own
+        # f32 grads deviate up to ~4% from its f64 grads on ill-conditioned
+        # keys (verified offline), so f32-vs-f32 cross-impl agreement cannot
+        # be required beyond that. Per-op backward parity is covered at 1e-6
+        # by the isolated ops/decoder golden tests.
+        np.testing.assert_allclose(
+            got_grads[k], tg, atol=max(8e-2 * scale, 1e-5), err_msg=f"grad {k}"
+        )
+        checked += 1
+    assert checked > 300
+
+    # --- parameter trajectory ---
+    ref_final = _np_state_dict(student_t)
+    got_final = export_state_dict(ts.params, ts.bn, kind="rap")
+    initial = export_state_dict(s_params, s_bn, kind="rap")
+    for k, v in ref_final.items():
+        if "num_batches_tracked" in k:
+            continue
+        import re
+
+        frozen = (
+            k.startswith("decoder.0.")
+            or re.search(r"(bn_ini|bns_1|bns_2|parallel_conv_1|parallel_conv_2)\.0\.", k)
+        ) and "running" not in k
+        if frozen:
+            # frozen params must not move a single ULP in either implementation
+            np.testing.assert_array_equal(got_final[k], initial[k], err_msg=k)
+            np.testing.assert_array_equal(v, initial[k], err_msg=k)
+        else:
+            # trained params: Adam turns near-zero-grad sign noise into +-lr
+            # per step, so the bound is 2 steps * 5e-4 + margin; systematic
+            # errors (wrong group/lr/wd) are orders larger
+            np.testing.assert_allclose(got_final[k], v, atol=1.5e-3, err_msg=k)
+
+
+def test_distill_step_freeze_semantics(ref_mod):
+    """Old-task DS slices and old decoders never move; shared + current move."""
+    key = jax.random.key(0)
+    params, bn = erfnet_rap.init(key, [6, 6], 2)
+    lr_tree = masks.rap_lr_tree(params, current_task=1, shared_lr=5e-6, ds_lr=5e-4)
+    w = jnp.ones(6).at[5].set(0.0)
+    step = steps.make_distill_step(
+        erfnet_rap.apply, current_task=1, prev_tasks=(0,),
+        class_weight=w, lr_tree=lr_tree, num_epochs=10,
+    )
+    tparams, tbn = erfnet_rap.init(jax.random.key(1), [6], 1)
+    teacher = steps.ModelState(tparams, tbn)
+    ts = steps.init_train_state(params, bn)
+    x = jax.random.normal(jax.random.key(2), (2, 32, 64, 3))
+    y = jax.random.randint(jax.random.key(3), (2, 32, 64), 0, 6)
+    ts2, metrics = jax.jit(step, static_argnames=())(ts, teacher, x, y, jax.random.key(4), 1)
+
+    blk = params["encoder"]["blocks"][1]  # first RAP block
+    blk2 = ts2.params["encoder"]["blocks"][1]
+    # frozen task-0 slices unchanged
+    np.testing.assert_array_equal(np.asarray(blk2["rap1"]["w"][0]), np.asarray(blk["rap1"]["w"][0]))
+    np.testing.assert_array_equal(np.asarray(blk2["bns1"]["scale"][0]), np.asarray(blk["bns1"]["scale"][0]))
+    # current task-1 slices moved
+    assert not np.allclose(np.asarray(blk2["rap1"]["w"][1]), np.asarray(blk["rap1"]["w"][1]))
+    # shared convs moved
+    assert not np.allclose(np.asarray(blk2["conv3x1_1"]["w"]), np.asarray(blk["conv3x1_1"]["w"]))
+    # old decoder frozen, current decoder moved
+    old_out = params["decoders"][0]["output_conv"]["w"]
+    np.testing.assert_array_equal(np.asarray(ts2.params["decoders"][0]["output_conv"]["w"]), np.asarray(old_out))
+    assert not np.allclose(
+        np.asarray(ts2.params["decoders"][1]["output_conv"]["w"]),
+        np.asarray(params["decoders"][1]["output_conv"]["w"]),
+    )
+    # teacher BN state was not mutated (eval mode)
+    np.testing.assert_array_equal(
+        np.asarray(teacher.bn["encoder"]["initial"]["bn"].mean), np.asarray(tbn["encoder"]["initial"]["bn"].mean)
+    )
+
+
+def test_ce_step_loss_decreases():
+    params, bn = erfnet_rap.init(jax.random.key(0), [6], 1)
+    lr_tree = masks.rap_lr_tree(params, current_task=0, shared_lr=5e-4, ds_lr=5e-4)
+    w = jnp.ones(6).at[5].set(0.0)
+    step = jax.jit(steps.make_ce_step(
+        erfnet_rap.apply, task=0, class_weight=w, lr_tree=lr_tree, num_epochs=150
+    ))
+    ts = steps.init_train_state(params, bn)
+    x = jax.random.normal(jax.random.key(1), (2, 32, 64, 3))
+    y = jax.random.randint(jax.random.key(2), (2, 32, 64), 0, 5)
+    losses = []
+    for i in range(8):
+        ts, m = step(ts, x, y, jax.random.key(10 + i), 1)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] - 0.02, losses
+
+
+def test_two_phase_step_applies_two_optimizer_updates():
+    params, bn = erfnet_rap.init(jax.random.key(0), [6, 6, 8], 3)
+    lr_tree = masks.rap_lr_tree(params, current_task=2, shared_lr=5e-6, ds_lr=5e-4)
+    w = jnp.ones(8).at[7].set(0.0)
+    step = steps.make_two_phase_distill_step(
+        erfnet_rap.apply, current_task=2, prev_tasks=(1, 0),
+        class_weight=w, lr_tree=lr_tree, num_epochs=10,
+    )
+    tp, tb = erfnet_rap.init(jax.random.key(1), [6, 6], 2)
+    ts = steps.init_train_state(params, bn)
+    x = jax.random.normal(jax.random.key(2), (1, 32, 64, 3))
+    y = jax.random.randint(jax.random.key(3), (1, 32, 64), 0, 8)
+    ts2, m = jax.jit(step)(ts, steps.ModelState(tp, tb), x, y, jax.random.key(4), 1)
+    assert int(ts2.opt.count) == 2  # two Adam applications per batch (faithful)
+    assert np.isfinite(float(m["loss"]))
