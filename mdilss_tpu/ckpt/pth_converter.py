@@ -103,74 +103,98 @@ def _import_stacked_conv1x1(sd: _SD, prefix: str, tasks: list[int]) -> dict:
     return {"w": jnp.asarray(w), "b": jnp.asarray(b)}
 
 
+def _stack_trees(trees: list):
+    import jax
+
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def _import_nb(sd: _SD, pre: str, rap: bool, tasks: list[int] | None):
+    """One non-bottleneck-1d (or RAP) block at torch prefix `pre`."""
+    if rap:
+        bn1_p, bn1_s = _import_bn(sd, f"{pre}.bns_1", tasks)
+        bn2_p, bn2_s = _import_bn(sd, f"{pre}.bns_2", tasks)
+        p = {
+            "conv3x1_1": _import_conv(sd, f"{pre}.conv3x1_1", False),
+            "conv1x3_1": _import_conv(sd, f"{pre}.conv1x3_1", False),
+            "rap1": _import_stacked_conv1x1(sd, f"{pre}.parallel_conv_1", tasks),
+            "bns1": bn1_p,
+            "conv3x1_2": _import_conv(sd, f"{pre}.conv3x1_2", False),
+            "conv1x3_2": _import_conv(sd, f"{pre}.conv1x3_2", False),
+            "rap2": _import_stacked_conv1x1(sd, f"{pre}.parallel_conv_2", tasks),
+            "bns2": bn2_p,
+        }
+        return p, {"bns1": bn1_s, "bns2": bn2_s}
+    bn1_p, bn1_s = _import_bn(sd, f"{pre}.bn1", None)
+    bn2_p, bn2_s = _import_bn(sd, f"{pre}.bn2", None)
+    p = {
+        "conv3x1_1": _import_conv(sd, f"{pre}.conv3x1_1", False),
+        "conv1x3_1": _import_conv(sd, f"{pre}.conv1x3_1", False),
+        "bn1": bn1_p,
+        "conv3x1_2": _import_conv(sd, f"{pre}.conv3x1_2", False),
+        "conv1x3_2": _import_conv(sd, f"{pre}.conv1x3_2", False),
+        "bn2": bn2_p,
+    }
+    return p, {"bn1": bn1_s, "bn2": bn2_s}
+
+
+def _import_down(sd: _SD, pre: str, bn_name: str, tasks: list[int] | None):
+    bn_p, bn_s = _import_bn(sd, f"{pre}.{bn_name}", tasks)
+    return {"conv": _import_conv(sd, f"{pre}.conv", False), "bn": bn_p}, {"bn": bn_s}
+
+
 def _import_encoder(sd: _SD, *, rap: bool, nb_tasks: int | None):
+    from ..models.topology import GROUP128_DILATIONS
+
     tasks = list(range(nb_tasks)) if nb_tasks is not None else None
-    bn_ini_name = "bn_ini" if tasks is not None else "bn"
-    init_bn_p, init_bn_s = _import_bn(sd, f"encoder.initial_block.{bn_ini_name}", tasks)
-    enc_p = {"initial": {"conv": _import_conv(sd, "encoder.initial_block.conv", False),
-                         "bn": init_bn_p}}
-    enc_s = {"initial": {"bn": init_bn_s}}
-    blocks_p, blocks_s = [], []
-    for i, spec in enumerate(ENCODER_PLAN):
-        pre = f"encoder.layers.{i}"
-        if spec[0] == "down":
-            bn_p, bn_s = _import_bn(sd, f"{pre}.{bn_ini_name}", tasks)
-            blocks_p.append({"conv": _import_conv(sd, f"{pre}.conv", False), "bn": bn_p})
-            blocks_s.append({"bn": bn_s})
-        elif rap:
-            bn1_p, bn1_s = _import_bn(sd, f"{pre}.bns_1", tasks)
-            bn2_p, bn2_s = _import_bn(sd, f"{pre}.bns_2", tasks)
-            blocks_p.append({
-                "conv3x1_1": _import_conv(sd, f"{pre}.conv3x1_1", False),
-                "conv1x3_1": _import_conv(sd, f"{pre}.conv1x3_1", False),
-                "rap1": _import_stacked_conv1x1(sd, f"{pre}.parallel_conv_1", tasks),
-                "bns1": bn1_p,
-                "conv3x1_2": _import_conv(sd, f"{pre}.conv3x1_2", False),
-                "conv1x3_2": _import_conv(sd, f"{pre}.conv1x3_2", False),
-                "rap2": _import_stacked_conv1x1(sd, f"{pre}.parallel_conv_2", tasks),
-                "bns2": bn2_p,
-            })
-            blocks_s.append({"bns1": bn1_s, "bns2": bn2_s})
-        else:
-            bn1_p, bn1_s = _import_bn(sd, f"{pre}.bn1", None)
-            bn2_p, bn2_s = _import_bn(sd, f"{pre}.bn2", None)
-            blocks_p.append({
-                "conv3x1_1": _import_conv(sd, f"{pre}.conv3x1_1", False),
-                "conv1x3_1": _import_conv(sd, f"{pre}.conv1x3_1", False),
-                "bn1": bn1_p,
-                "conv3x1_2": _import_conv(sd, f"{pre}.conv3x1_2", False),
-                "conv1x3_2": _import_conv(sd, f"{pre}.conv1x3_2", False),
-                "bn2": bn2_p,
-            })
-            blocks_s.append({"bn1": bn1_s, "bn2": bn2_s})
-    enc_p["blocks"] = blocks_p
-    enc_s["blocks"] = blocks_s
+    bn_ini = "bn_ini" if tasks is not None else "bn"
+    init_p, init_s = _import_down(sd, "encoder.initial_block", bn_ini, tasks)
+    down1_p, down1_s = _import_down(sd, "encoder.layers.0", bn_ini, tasks)
+    g64 = [_import_nb(sd, f"encoder.layers.{i}", rap, tasks) for i in range(1, 6)]
+    down2_p, down2_s = _import_down(sd, "encoder.layers.6", bn_ini, tasks)
+    # layers 7..14 = [rep 0: d2 d4 d8 d16][rep 1: d2 d4 d8 d16]
+    g128_p, g128_s = {}, {}
+    for j, d in enumerate(GROUP128_DILATIONS):
+        blocks = [_import_nb(sd, f"encoder.layers.{7 + 4 * rep + j}", rap, tasks) for rep in range(2)]
+        g128_p[f"d{d}"] = _stack_trees([p for p, _ in blocks])
+        g128_s[f"d{d}"] = _stack_trees([s for _, s in blocks])
+    enc_p = {
+        "initial": init_p, "down1": down1_p,
+        "group64": _stack_trees([p for p, _ in g64]),
+        "down2": down2_p, "group128": g128_p,
+    }
+    enc_s = {
+        "initial": init_s, "down1": down1_s,
+        "group64": _stack_trees([s for _, s in g64]),
+        "down2": down2_s, "group128": g128_s,
+    }
     return enc_p, enc_s
 
 
+def _import_up(sd: _SD, pre: str):
+    bn_p, bn_s = _import_bn(sd, f"{pre}.bn", None)
+    return {"conv": _import_conv(sd, f"{pre}.conv", True), "bn": bn_p}, {"bn": bn_s}
+
+
 def _import_decoder(sd: _SD, prefix: str):
-    blocks_p, blocks_s = [], []
-    for j, spec in enumerate(DECODER_PLAN):
-        pre = f"{prefix}.layers.{j}"
-        if spec[0] == "up":
-            bn_p, bn_s = _import_bn(sd, f"{pre}.bn", None)
-            blocks_p.append({"conv": _import_conv(sd, f"{pre}.conv", True), "bn": bn_p})
-            blocks_s.append({"bn": bn_s})
-        else:
-            bn1_p, bn1_s = _import_bn(sd, f"{pre}.bn1", None)
-            bn2_p, bn2_s = _import_bn(sd, f"{pre}.bn2", None)
-            blocks_p.append({
-                "conv3x1_1": _import_conv(sd, f"{pre}.conv3x1_1", False),
-                "conv1x3_1": _import_conv(sd, f"{pre}.conv1x3_1", False),
-                "bn1": bn1_p,
-                "conv3x1_2": _import_conv(sd, f"{pre}.conv3x1_2", False),
-                "conv1x3_2": _import_conv(sd, f"{pre}.conv1x3_2", False),
-                "bn2": bn2_p,
-            })
-            blocks_s.append({"bn1": bn1_s, "bn2": bn2_s})
+    up1_p, up1_s = _import_up(sd, f"{prefix}.layers.0")
+    g64 = [_import_nb(sd, f"{prefix}.layers.{j}", False, None) for j in (1, 2)]
+    up2_p, up2_s = _import_up(sd, f"{prefix}.layers.3")
+    g16 = [_import_nb(sd, f"{prefix}.layers.{j}", False, None) for j in (4, 5)]
     return (
-        {"blocks": blocks_p, "output_conv": _import_conv(sd, f"{prefix}.output_conv", True)},
-        {"blocks": blocks_s},
+        {
+            "up1": up1_p,
+            "group64": _stack_trees([p for p, _ in g64]),
+            "up2": up2_p,
+            "group16": _stack_trees([p for p, _ in g16]),
+            "output_conv": _import_conv(sd, f"{prefix}.output_conv", True),
+        },
+        {
+            "up1": up1_s,
+            "group64": _stack_trees([s for _, s in g64]),
+            "up2": up2_s,
+            "group16": _stack_trees([s for _, s in g16]),
+        },
     )
 
 
@@ -233,6 +257,55 @@ def _export_bn(out: dict, prefix: str, p: dict, s: BNState, tasks: list[int] | N
             out[f"{prefix}.{t}.running_var"] = np.asarray(s.var[t])
 
 
+def _index_tree(tree, idx):
+    import jax
+
+    return jax.tree.map(lambda a: a[idx], tree)
+
+
+def _enc_block(enc_p, enc_s, i: int):
+    from ..models.topology import encoder_layer_address
+
+    seg, idx = encoder_layer_address(i)
+    p, s = enc_p[seg], enc_s[seg]
+    if seg == "group64":
+        return _index_tree(p, idx), _index_tree(s, idx)
+    if seg == "group128":
+        rep, dkey = idx
+        return _index_tree(p[dkey], rep), _index_tree(s[dkey], rep)
+    return p, s
+
+
+def _dec_block(dec_p, dec_s, j: int):
+    from ..models.topology import decoder_layer_address
+
+    seg, idx = decoder_layer_address(j)
+    p, s = dec_p[seg], dec_s[seg]
+    if idx is None:
+        return p, s
+    return _index_tree(p, idx), _index_tree(s, idx)
+
+
+def _export_nb(out, pre: str, p, s, rap: bool, tasks):
+    _export_conv(out, f"{pre}.conv3x1_1", p["conv3x1_1"], False)
+    _export_conv(out, f"{pre}.conv1x3_1", p["conv1x3_1"], False)
+    if rap:
+        for t in tasks:
+            _export_conv(out, f"{pre}.parallel_conv_1.{t}",
+                         {"w": p["rap1"]["w"][t], "b": p["rap1"]["b"][t]}, False)
+            _export_conv(out, f"{pre}.parallel_conv_2.{t}",
+                         {"w": p["rap2"]["w"][t], "b": p["rap2"]["b"][t]}, False)
+        _export_bn(out, f"{pre}.bns_1", p["bns1"], s["bns1"], tasks)
+    else:
+        _export_bn(out, f"{pre}.bn1", p["bn1"], s["bn1"], None)
+    _export_conv(out, f"{pre}.conv3x1_2", p["conv3x1_2"], False)
+    _export_conv(out, f"{pre}.conv1x3_2", p["conv1x3_2"], False)
+    if rap:
+        _export_bn(out, f"{pre}.bns_2", p["bns2"], s["bns2"], tasks)
+    else:
+        _export_bn(out, f"{pre}.bn2", p["bn2"], s["bn2"], None)
+
+
 def export_state_dict(params, state, *, kind: str, prefix: str = "") -> dict[str, np.ndarray]:
     """(params, state) -> reference-format flat state dict (no module. prefix
     unless `prefix="module."` is passed)."""
@@ -250,29 +323,12 @@ def export_state_dict(params, state, *, kind: str, prefix: str = "") -> dict[str
     _export_bn(out, f"encoder.initial_block.{bn_ini}", enc_p["initial"]["bn"], enc_s["initial"]["bn"], tasks)
     for i, spec in enumerate(ENCODER_PLAN):
         pre = f"encoder.layers.{i}"
-        p, s = enc_p["blocks"][i], enc_s["blocks"][i]
+        p, s = _enc_block(enc_p, enc_s, i)
         if spec[0] == "down":
             _export_conv(out, f"{pre}.conv", p["conv"], False)
             _export_bn(out, f"{pre}.{bn_ini}", p["bn"], s["bn"], tasks)
-        elif rap:
-            _export_conv(out, f"{pre}.conv3x1_1", p["conv3x1_1"], False)
-            _export_conv(out, f"{pre}.conv1x3_1", p["conv1x3_1"], False)
-            for t in tasks:
-                _export_conv(out, f"{pre}.parallel_conv_1.{t}",
-                             {"w": p["rap1"]["w"][t], "b": p["rap1"]["b"][t]}, False)
-                _export_conv(out, f"{pre}.parallel_conv_2.{t}",
-                             {"w": p["rap2"]["w"][t], "b": p["rap2"]["b"][t]}, False)
-            _export_bn(out, f"{pre}.bns_1", p["bns1"], s["bns1"], tasks)
-            _export_conv(out, f"{pre}.conv3x1_2", p["conv3x1_2"], False)
-            _export_conv(out, f"{pre}.conv1x3_2", p["conv1x3_2"], False)
-            _export_bn(out, f"{pre}.bns_2", p["bns2"], s["bns2"], tasks)
         else:
-            _export_conv(out, f"{pre}.conv3x1_1", p["conv3x1_1"], False)
-            _export_conv(out, f"{pre}.conv1x3_1", p["conv1x3_1"], False)
-            _export_bn(out, f"{pre}.bn1", p["bn1"], s["bn1"], None)
-            _export_conv(out, f"{pre}.conv3x1_2", p["conv3x1_2"], False)
-            _export_conv(out, f"{pre}.conv1x3_2", p["conv1x3_2"], False)
-            _export_bn(out, f"{pre}.bn2", p["bn2"], s["bn2"], None)
+            _export_nb(out, pre, p, s, rap, tasks)
 
     if kind == "erfnet":
         dec_list = [("decoder", params["decoder"], state["decoder"])]
@@ -282,17 +338,12 @@ def export_state_dict(params, state, *, kind: str, prefix: str = "") -> dict[str
     for hp, dp, ds in dec_list:
         for j, spec in enumerate(DECODER_PLAN):
             pre = f"{hp}.layers.{j}"
-            p, s = dp["blocks"][j], ds["blocks"][j]
+            p, s = _dec_block(dp, ds, j)
             if spec[0] == "up":
                 _export_conv(out, f"{pre}.conv", p["conv"], True)
                 _export_bn(out, f"{pre}.bn", p["bn"], s["bn"], None)
             else:
-                _export_conv(out, f"{pre}.conv3x1_1", p["conv3x1_1"], False)
-                _export_conv(out, f"{pre}.conv1x3_1", p["conv1x3_1"], False)
-                _export_bn(out, f"{pre}.bn1", p["bn1"], s["bn1"], None)
-                _export_conv(out, f"{pre}.conv3x1_2", p["conv3x1_2"], False)
-                _export_conv(out, f"{pre}.conv1x3_2", p["conv1x3_2"], False)
-                _export_bn(out, f"{pre}.bn2", p["bn2"], s["bn2"], None)
+                _export_nb(out, pre, p, s, False, None)
         _export_conv(out, f"{hp}.output_conv", dp["output_conv"], True)
     if prefix:
         out = {prefix + k: v for k, v in out.items()}

@@ -34,55 +34,61 @@ from ..ops.norm import BNState
 from .pth_converter import convert_state_dict, export_state_dict
 
 
-def _append_slot_seeded(arr: jax.Array, fresh: jax.Array | None = None) -> jax.Array:
-    """Append one leading-axis slot, seeded from the last existing slot
-    (or `fresh` when provided)."""
-    new = arr[-1:] if fresh is None else fresh[None]
-    return jnp.concatenate([arr, new], axis=0)
+def _append_slot(arr: jax.Array, axis: int, fresh_value: float | None) -> jax.Array:
+    """Append one slot along the task axis; seeded from the last existing slot
+    when `fresh_value` is None, else filled with the constant."""
+    last = jax.lax.slice_in_dim(arr, arr.shape[axis] - 1, arr.shape[axis], axis=axis)
+    new = last if fresh_value is None else jnp.full_like(last, fresh_value)
+    return jnp.concatenate([arr, new], axis=axis)
 
 
 def extend_for_new_task(params, state, new_num_classes: int, rng, dtype=jnp.float32):
-    """RAP model: grow nb_tasks -> nb_tasks+1 with the reference init scheme."""
-    t_new = len(params["decoders"])  # index of the new task
+    """RAP model: grow nb_tasks -> nb_tasks+1 with the reference init scheme.
 
-    def grow_bn(p, s, seed_params: bool):
-        c = p["scale"].shape[-1]
+    Task axis position: 0 on the downsampler BN leaves, 1 on grouped
+    (scan-stacked) leaves (see models/topology.py docstring).
+    """
+
+    def grow_bn(p, s, axis: int):
+        # scale/bias seeded from task t-1; running stats fresh (0 mean, 1 var)
         new_p = {
-            "scale": _append_slot_seeded(p["scale"], None if seed_params else jnp.ones(c, dtype)),
-            "bias": _append_slot_seeded(p["bias"], None if seed_params else jnp.zeros(c, dtype)),
+            "scale": _append_slot(p["scale"], axis, None),
+            "bias": _append_slot(p["bias"], axis, None),
         }
-        # running stats always start fresh for the new task (see module doc)
         new_s = BNState(
-            mean=_append_slot_seeded(s.mean, jnp.zeros(c, dtype)),
-            var=_append_slot_seeded(s.var, jnp.ones(c, dtype)),
+            mean=_append_slot(s.mean, axis, 0.0),
+            var=_append_slot(s.var, axis, 1.0),
         )
         return new_p, new_s
 
+    def grow_nb(p, s, axis: int):
+        bn1_p, bn1_s = grow_bn(p["bns1"], s["bns1"], axis)
+        bn2_p, bn2_s = grow_bn(p["bns2"], s["bns2"], axis)
+        new_p = {
+            **{k: p[k] for k in ("conv3x1_1", "conv1x3_1", "conv3x1_2", "conv1x3_2")},
+            "rap1": {"w": _append_slot(p["rap1"]["w"], axis, None),
+                     "b": _append_slot(p["rap1"]["b"], axis, None)},
+            "bns1": bn1_p,
+            "rap2": {"w": _append_slot(p["rap2"]["w"], axis, None),
+                     "b": _append_slot(p["rap2"]["b"], axis, None)},
+            "bns2": bn2_p,
+        }
+        return new_p, {"bns1": bn1_s, "bns2": bn2_s}
+
+    def grow_down(p, s):
+        bn_p, bn_s = grow_bn(p["bn"], s["bn"], 0)
+        return {"conv": p["conv"], "bn": bn_p}, {"bn": bn_s}
+
     enc_p, enc_s = params["encoder"], state["encoder"]
-    new_init_bn_p, new_init_bn_s = grow_bn(enc_p["initial"]["bn"], enc_s["initial"]["bn"], True)
-    new_enc_p = {"initial": {"conv": enc_p["initial"]["conv"], "bn": new_init_bn_p}}
-    new_enc_s = {"initial": {"bn": new_init_bn_s}}
-    new_blocks_p, new_blocks_s = [], []
-    for p, s, spec in zip(enc_p["blocks"], enc_s["blocks"], T.ENCODER_PLAN):
-        if spec[0] == "down":
-            bn_p, bn_s = grow_bn(p["bn"], s["bn"], True)
-            new_blocks_p.append({"conv": p["conv"], "bn": bn_p})
-            new_blocks_s.append({"bn": bn_s})
-        else:
-            bn1_p, bn1_s = grow_bn(p["bns1"], s["bns1"], True)
-            bn2_p, bn2_s = grow_bn(p["bns2"], s["bns2"], True)
-            new_blocks_p.append({
-                **{k: p[k] for k in ("conv3x1_1", "conv1x3_1", "conv3x1_2", "conv1x3_2")},
-                "rap1": {"w": _append_slot_seeded(p["rap1"]["w"]),
-                         "b": _append_slot_seeded(p["rap1"]["b"])},
-                "bns1": bn1_p,
-                "rap2": {"w": _append_slot_seeded(p["rap2"]["w"]),
-                         "b": _append_slot_seeded(p["rap2"]["b"])},
-                "bns2": bn2_p,
-            })
-            new_blocks_s.append({"bns1": bn1_s, "bns2": bn2_s})
-    new_enc_p["blocks"] = new_blocks_p
-    new_enc_s["blocks"] = new_blocks_s
+    new_enc_p, new_enc_s = {}, {}
+    for seg in ("initial", "down1", "down2"):
+        new_enc_p[seg], new_enc_s[seg] = grow_down(enc_p[seg], enc_s[seg])
+    new_enc_p["group64"], new_enc_s["group64"] = grow_nb(enc_p["group64"], enc_s["group64"], 1)
+    new_enc_p["group128"], new_enc_s["group128"] = {}, {}
+    for dkey in enc_p["group128"]:
+        new_enc_p["group128"][dkey], new_enc_s["group128"][dkey] = grow_nb(
+            enc_p["group128"][dkey], enc_s["group128"][dkey], 1
+        )
 
     # New decoder: deep-copy of decoder t-1 (params AND running stats,
     # train_new_task_step2.py:524-528) with a fresh output_conv.

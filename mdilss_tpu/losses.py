@@ -34,7 +34,7 @@ def weighted_cross_entropy(logits: jax.Array, targets: jax.Array, weight: jax.Ar
     """Weighted pixel CE. logits [N,H,W,C] float, targets [N,H,W] int, weight [C]."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-    w = weight.astype(jnp.float32)[targets]
+    w = jnp.asarray(weight, jnp.float32)[targets]
     return jnp.sum(w * nll) / jnp.sum(w)
 
 

@@ -19,10 +19,11 @@ def init(rng, num_classes: int = 20, dtype=jnp.float32):
     return {"encoder": enc_p, "decoder": dec_p}, {"encoder": enc_s, "decoder": dec_s}
 
 
-def apply(params, state, x, *, training: bool = False, rng=None):
+def apply(params, state, x, *, training: bool = False, rng=None, remat: bool = False):
     """x: [N, H, W, 3] -> logits [N, H, W, num_classes]."""
     feats, enc_s = T.encoder_apply(
-        params["encoder"], state["encoder"], x, rap=False, task=None, training=training, rng=rng
+        params["encoder"], state["encoder"], x, rap=False, task=None,
+        training=training, rng=rng, remat=remat,
     )
     logits, dec_s = T.decoder_apply(params["decoder"], state["decoder"], feats, training=training)
     return logits, {"encoder": enc_s, "decoder": dec_s}

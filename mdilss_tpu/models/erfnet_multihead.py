@@ -34,9 +34,10 @@ def init(rng, num_classes: Sequence[int], dtype=jnp.float32):
     )
 
 
-def apply(params, state, x, task: int, *, training: bool = False, rng=None):
+def apply(params, state, x, task: int, *, training: bool = False, rng=None, remat: bool = False):
     feats, enc_s = T.encoder_apply(
-        params["encoder"], state["encoder"], x, rap=False, task=None, training=training, rng=rng
+        params["encoder"], state["encoder"], x, rap=False, task=None,
+        training=training, rng=rng, remat=remat,
     )
     logits, dec_s = T.decoder_apply(
         params["decoders"][task], state["decoders"][task], feats, training=training

@@ -35,14 +35,16 @@ def init(rng, num_classes: Sequence[int] = (20,), nb_tasks: int = 1, dtype=jnp.f
     )
 
 
-def apply(params, state, x, task: int, *, training: bool = False, rng=None):
+def apply(params, state, x, task: int, *, training: bool = False, rng=None, remat: bool = False):
     """x: [N, H, W, 3] -> logits [N, H, W, num_classes[task]].
 
     `task` must be a static Python int (selects adapters/BN slices and the
-    decoder head at trace time).
+    decoder head at trace time). `remat=True` rematerializes the encoder's
+    scan groups in the backward pass (activation memory for FLOPs).
     """
     feats, enc_s = T.encoder_apply(
-        params["encoder"], state["encoder"], x, rap=True, task=task, training=training, rng=rng
+        params["encoder"], state["encoder"], x, rap=True, task=task,
+        training=training, rng=rng, remat=remat,
     )
     logits, dec_s = T.decoder_apply(
         params["decoders"][task], state["decoders"][task], feats, training=training

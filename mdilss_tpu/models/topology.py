@@ -9,15 +9,35 @@ Topology (identical across all 5 reference model files, models/erfnet.py:65-135)
 
 The RAP encoder swaps nb1d for nb1d_RAP and makes every BN per-task
 (models/erfnet_RA_parallel.py:123-149). Decoders never carry RAP adapters.
+
+TPU-native structure: repeated homogeneous blocks are *stacked* on a leading
+group axis and executed with `lax.scan` — the XLA program contains each block
+body once instead of N times. This cuts lowering/compile time ~4x (the axon
+PJRT path lowers per-op) and gives a natural `jax.checkpoint` boundary for
+rematerialization. Group axes:
+
+  encoder: initial (Down 3->16) | down1 (16->64) | group64 [5] x nb(64,.03,1)
+           | down2 (64->128)    | group128 [2] x chain(d2, d4, d8, d16)
+  decoder: up1 | group64 [2] x nb(64,0,1) | up2 | group16 [2] x nb(16,0,1)
+           | output_conv
+
+Stacked leaves carry the group axis FIRST, before any task axis: a RAP leaf in
+group64 is [5, T, ...]; scan slices off the leading axis so block code always
+sees the same per-block layout.
 """
 from __future__ import annotations
 
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 
 from . import blocks as B
+from ..ops import conv_transpose2d
+from ..ops.norm import BNState
 
+# Flat per-layer view (still used by the checkpoint converter to map the
+# reference's encoder.layers.{i} key grammar onto the grouped layout):
 # (kind, *args): ("down", nin, nout) | ("nb", ch, dropprob, dilated)
 ENCODER_PLAN: tuple = (
     ("down", 16, 64),
@@ -35,85 +55,165 @@ DECODER_PLAN: tuple = (
     ("nb", 16, 0.0, 1),
 )
 
+GROUP128_DILATIONS = (2, 4, 8, 16)
+
+
+def _stack_group(inits: list[tuple[Any, Any]]):
+    """Stack per-block (params, state) pytrees on a new leading group axis."""
+    params = jax.tree.map(lambda *xs: jnp.stack(xs), *[p for p, _ in inits])
+    states = jax.tree.map(lambda *xs: jnp.stack(xs), *[s for _, s in inits])
+    return params, states
+
 
 def encoder_init(rng, *, rap: bool, nb_tasks: int | None, dtype):
-    """`rap=True` builds RAP blocks + per-task BN; else plain shared blocks.
+    """`rap=True` builds RAP blocks + per-task BN; else plain shared blocks
+    (pass nb_tasks=None)."""
+    rngs = jax.random.split(rng, 16)
 
-    For plain encoders pass nb_tasks=None (BN not task-stacked).
-    """
-    n_rngs = 1 + len(ENCODER_PLAN)
-    rngs = jax.random.split(rng, n_rngs)
+    def nb_init(r, ch, dil):
+        return B.nb1d_rap_init(r, ch, dil, nb_tasks, dtype) if rap else B.nb1d_init(r, ch, dil, dtype)
+
     init_p, init_s = B.downsampler_init(rngs[0], 3, 16, nb_tasks, dtype)
-    blocks_p, blocks_s = [], []
-    for r, spec in zip(rngs[1:], ENCODER_PLAN):
-        if spec[0] == "down":
-            p, s = B.downsampler_init(r, spec[1], spec[2], nb_tasks, dtype)
-        elif rap:
-            p, s = B.nb1d_rap_init(r, spec[1], spec[3], nb_tasks, dtype)
-        else:
-            p, s = B.nb1d_init(r, spec[1], spec[3], dtype)
-        blocks_p.append(p)
-        blocks_s.append(s)
-    return {"initial": init_p, "blocks": blocks_p}, {"initial": init_s, "blocks": blocks_s}
+    down1_p, down1_s = B.downsampler_init(rngs[1], 16, 64, nb_tasks, dtype)
+    g64_p, g64_s = _stack_group([nb_init(rngs[2 + i], 64, 1) for i in range(5)])
+    down2_p, down2_s = B.downsampler_init(rngs[7], 64, 128, nb_tasks, dtype)
+    # group128: [2] x chain over the 4 dilations; one dict entry per dilation
+    g128 = {}
+    g128_s = {}
+    for j, d in enumerate(GROUP128_DILATIONS):
+        p, s = _stack_group([nb_init(rngs[8 + 4 * rep + j], 128, d) for rep in range(2)])
+        g128[f"d{d}"] = p
+        g128_s[f"d{d}"] = s
+    return (
+        {"initial": init_p, "down1": down1_p, "group64": g64_p, "down2": down2_p, "group128": g128},
+        {"initial": init_s, "down1": down1_s, "group64": g64_s, "down2": down2_s, "group128": g128_s},
+    )
+
+
+def _scan_blocks(body, x, params, state, rngs, *, training: bool):
+    """Scan `body(carry_x, (params_i, state_i, rng_i)) -> (x', state_i')` over
+    the leading group axis; returns (x_out, stacked new states)."""
+    def step(carry, xs):
+        p_i, s_i, r_i = xs
+        out, ns = body(carry, p_i, s_i, r_i)
+        return out, ns
+
+    x_out, new_states = jax.lax.scan(step, x, (params, state, rngs))
+    return x_out, new_states
+
+
+def _group_rngs(rng, n: int):
+    if rng is None:
+        # scan still needs an xs leaf with a leading axis; keys are unused
+        # when rng-driven dropout is off (blocks treat rng=None via flag)
+        return jnp.zeros((n, 2), jnp.uint32), False
+    keys = jax.random.split(rng, n)
+    return jax.random.key_data(keys), True
 
 
 def encoder_apply(
-    params, state, x, *, rap: bool, task: int | None, training: bool, rng=None
+    params, state, x, *, rap: bool, task: int | None, training: bool, rng=None,
+    remat: bool = False,
 ) -> tuple[Any, Any]:
-    """Run the 16-block encoder. `task` must be a static int for RAP encoders."""
-    n_drop = sum(1 for s in ENCODER_PLAN if s[0] == "nb")
-    drop_rngs = list(jax.random.split(rng, n_drop)) if rng is not None else [None] * n_drop
+    """Run the encoder. `task` must be a static int for RAP encoders."""
+    r = list(jax.random.split(rng, 3)) if rng is not None else [None, None, None]
     out, init_s = B.downsampler_apply(params["initial"], state["initial"], x, task=task, training=training)
-    new_blocks = []
-    di = 0
-    for p, s, spec in zip(params["blocks"], state["blocks"], ENCODER_PLAN):
-        if spec[0] == "down":
-            out, ns = B.downsampler_apply(p, s, out, task=task, training=training)
-        else:
-            _, ch, dropprob, dilated = spec
-            if rap:
-                out, ns = B.nb1d_rap_apply(
-                    p, s, out, task=task, dilated=dilated, dropprob=dropprob,
-                    training=training, rng=drop_rngs[di],
-                )
-            else:
-                out, ns = B.nb1d_apply(
-                    p, s, out, dilated=dilated, dropprob=dropprob,
-                    training=training, rng=drop_rngs[di],
-                )
-            di += 1
-        new_blocks.append(ns)
-    return out, {"initial": init_s, "blocks": new_blocks}
+    out, down1_s = B.downsampler_apply(params["down1"], state["down1"], out, task=task, training=training)
+
+    def nb_apply(p, s, xin, dil, drop, key):
+        if rap:
+            return B.nb1d_rap_apply(
+                p, s, xin, task=task, dilated=dil, dropprob=drop, training=training, rng=key
+            )
+        return B.nb1d_apply(p, s, xin, dilated=dil, dropprob=drop, training=training, rng=key)
+
+    # ---- group64: scan over 5 identical nb(64, .03, 1) blocks ----
+    keys64, has_rng = _group_rngs(r[0], 5)
+
+    def body64(xin, p_i, s_i, kd):
+        key = jax.random.wrap_key_data(kd) if has_rng else None
+        return nb_apply(p_i, s_i, xin, 1, 0.03, key)
+
+    if remat:
+        body64 = jax.checkpoint(body64)
+    out, g64_s = _scan_blocks(body64, out, params["group64"], state["group64"], keys64, training=training)
+
+    out, down2_s = B.downsampler_apply(params["down2"], state["down2"], out, task=task, training=training)
+
+    # ---- group128: scan [2] x chain(d2, d4, d8, d16) ----
+    keys128, has_rng128 = _group_rngs(r[1], 2 * len(GROUP128_DILATIONS))
+    keys128 = keys128.reshape(2, len(GROUP128_DILATIONS), 2)
+
+    def body128(xin, p_i, s_i, kd):
+        new_s = {}
+        for j, d in enumerate(GROUP128_DILATIONS):
+            key = jax.random.wrap_key_data(kd[j]) if has_rng128 else None
+            xin, new_s[f"d{d}"] = nb_apply(p_i[f"d{d}"], s_i[f"d{d}"], xin, d, 0.3, key)
+        return xin, new_s
+
+    if remat:
+        body128 = jax.checkpoint(body128)
+    out, g128_s = _scan_blocks(body128, out, params["group128"], state["group128"], keys128, training=training)
+
+    return out, {
+        "initial": init_s, "down1": down1_s, "group64": g64_s,
+        "down2": down2_s, "group128": g128_s,
+    }
 
 
 def decoder_init(rng, num_classes: int, dtype):
-    rngs = jax.random.split(rng, len(DECODER_PLAN) + 1)
-    blocks_p, blocks_s = [], []
-    for r, spec in zip(rngs[:-1], DECODER_PLAN):
-        if spec[0] == "up":
-            p, s = B.upsampler_init(r, spec[1], spec[2], dtype)
-        else:
-            p, s = B.nb1d_init(r, spec[1], spec[3], dtype)
-        blocks_p.append(p)
-        blocks_s.append(s)
-    out_p = B.conv_transpose_init(rngs[-1], 2, 2, 16, num_classes, dtype)
-    return {"blocks": blocks_p, "output_conv": out_p}, {"blocks": blocks_s}
+    rngs = jax.random.split(rng, 7)
+    up1_p, up1_s = B.upsampler_init(rngs[0], 128, 64, dtype)
+    g64_p, g64_s = _stack_group([B.nb1d_init(rngs[1 + i], 64, 1, dtype) for i in range(2)])
+    up2_p, up2_s = B.upsampler_init(rngs[3], 64, 16, dtype)
+    g16_p, g16_s = _stack_group([B.nb1d_init(rngs[4 + i], 16, 1, dtype) for i in range(2)])
+    out_p = B.conv_transpose_init(rngs[6], 2, 2, 16, num_classes, dtype)
+    return (
+        {"up1": up1_p, "group64": g64_p, "up2": up2_p, "group16": g16_p, "output_conv": out_p},
+        {"up1": up1_s, "group64": g64_s, "up2": up2_s, "group16": g16_s},
+    )
 
 
 def decoder_apply(params, state, x, *, training: bool):
-    from ..ops import conv_transpose2d
+    out, up1_s = B.upsampler_apply(params["up1"], state["up1"], x, training=training)
 
-    out = x
-    new_blocks = []
-    for p, s, spec in zip(params["blocks"], state["blocks"], DECODER_PLAN):
-        if spec[0] == "up":
-            out, ns = B.upsampler_apply(p, s, out, training=training)
-        else:
-            # decoder nb1d blocks have dropprob=0 => no rng needed
-            out, ns = B.nb1d_apply(p, s, out, dilated=spec[3], dropprob=0.0, training=training)
-        new_blocks.append(ns)
+    def body(xin, p_i, s_i, _):
+        return B.nb1d_apply(p_i, s_i, xin, dilated=1, dropprob=0.0, training=training)
+
+    dummy = jnp.zeros((2, 1))
+    out, g64_s = _scan_blocks(body, out, params["group64"], state["group64"], dummy, training=training)
+    out, up2_s = B.upsampler_apply(params["up2"], state["up2"], out, training=training)
+    out, g16_s = _scan_blocks(body, out, params["group16"], state["group16"], dummy, training=training)
     out = conv_transpose2d(
         out, params["output_conv"]["w"], params["output_conv"]["b"],
         stride=2, padding=0, output_padding=0,
     )
-    return out, {"blocks": new_blocks}
+    return out, {"up1": up1_s, "group64": g64_s, "up2": up2_s, "group16": g16_s}
+
+
+# ---------------------------------------------------------------------------
+# Flat <-> grouped addressing (used by converter / surgery / masks)
+# ---------------------------------------------------------------------------
+
+def encoder_layer_address(i: int) -> tuple[str, int | tuple[int, str] | None]:
+    """Map reference `encoder.layers.{i}` to (segment, index-within-segment).
+
+    Returns ("down1"|"down2", None) or ("group64", k) or ("group128", (rep, "d{d}")).
+    """
+    if i == 0:
+        return "down1", None
+    if 1 <= i <= 5:
+        return "group64", i - 1
+    if i == 6:
+        return "down2", None
+    j = i - 7
+    rep, pos = divmod(j, 4)
+    return "group128", (rep, f"d{GROUP128_DILATIONS[pos]}")
+
+
+def decoder_layer_address(j: int) -> tuple[str, int | None]:
+    """Map reference `decoder.layers.{j}` to (segment, index)."""
+    return [
+        ("up1", None), ("group64", 0), ("group64", 1),
+        ("up2", None), ("group16", 0), ("group16", 1),
+    ][j]

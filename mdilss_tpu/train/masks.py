@@ -26,53 +26,62 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _task_col(nb_tasks: int, hot: int | None, lr: float, ndim_tail: int):
-    """[T, 1, 1, ...] array: `lr` at row `hot` (or all rows if hot is None)."""
+# LR-tree leaves are deliberately HOST (numpy) arrays: they enter jitted steps
+# as closure constants, and device-resident constants must be fetched back at
+# lowering time — through the axon tunnel that costs ~0.4 s per leaf (~80 s
+# for a full model's lr tree). Host constants lower in milliseconds.
+
+
+def _task_col(nb_tasks: int, hot: int | None, lr: float, axis: int, ndim: int):
+    """Array with the task axis at `axis` of an ndim-leaf: `lr` at row `hot`
+    (or all rows if hot is None), 0 elsewhere; broadcasts against the leaf."""
     col = np.full((nb_tasks,), lr if hot is None else 0.0, np.float32)
     if hot is not None:
         col[hot] = lr
-    return jnp.asarray(col.reshape((nb_tasks,) + (1,) * ndim_tail))
+    shape = (1,) * axis + (nb_tasks,) + (1,) * (ndim - axis - 1)
+    return col.reshape(shape)
 
 
 def _const_tree(tree, value: float):
-    return jax.tree.map(lambda _: jnp.float32(value), tree)
+    return jax.tree.map(lambda _: np.float32(value), tree)
 
 
 def rap_lr_tree(params, *, current_task: int, shared_lr: float, ds_lr: float):
-    """LR tree for the RAP model in incremental step `current_task`."""
+    """LR tree for the RAP model in incremental step `current_task`.
+
+    Task axis: 0 on downsampler BN leaves, 1 on grouped (scan-stacked) leaves.
+    """
     enc = params["encoder"]
     nb = enc["initial"]["bn"]["scale"].shape[0]
 
-    def bn_lrs(p):
+    def ds_leaf(leaf, axis):
+        return _task_col(nb, current_task, ds_lr, axis, leaf.ndim)
+
+    def down_lrs(p):
         return {
-            "scale": _task_col(nb, current_task, ds_lr, p["scale"].ndim - 1),
-            "bias": _task_col(nb, current_task, ds_lr, p["bias"].ndim - 1),
+            "conv": _const_tree(p["conv"], shared_lr),
+            "bn": {k: ds_leaf(p["bn"][k], 0) for k in ("scale", "bias")},
         }
 
-    def rap_lrs(p):
+    def nb_lrs(p):
         return {
-            "w": _task_col(nb, current_task, ds_lr, p["w"].ndim - 1),
-            "b": _task_col(nb, current_task, ds_lr, p["b"].ndim - 1),
+            "conv3x1_1": _const_tree(p["conv3x1_1"], shared_lr),
+            "conv1x3_1": _const_tree(p["conv1x3_1"], shared_lr),
+            "rap1": {k: ds_leaf(p["rap1"][k], 1) for k in ("w", "b")},
+            "bns1": {k: ds_leaf(p["bns1"][k], 1) for k in ("scale", "bias")},
+            "conv3x1_2": _const_tree(p["conv3x1_2"], shared_lr),
+            "conv1x3_2": _const_tree(p["conv1x3_2"], shared_lr),
+            "rap2": {k: ds_leaf(p["rap2"][k], 1) for k in ("w", "b")},
+            "bns2": {k: ds_leaf(p["bns2"][k], 1) for k in ("scale", "bias")},
         }
 
-    enc_lr = {"initial": {"conv": _const_tree(enc["initial"]["conv"], shared_lr),
-                          "bn": bn_lrs(enc["initial"]["bn"])}}
-    blocks = []
-    for p in enc["blocks"]:
-        if "conv" in p:  # downsampler
-            blocks.append({"conv": _const_tree(p["conv"], shared_lr), "bn": bn_lrs(p["bn"])})
-        else:  # RAP block
-            blocks.append({
-                "conv3x1_1": _const_tree(p["conv3x1_1"], shared_lr),
-                "conv1x3_1": _const_tree(p["conv1x3_1"], shared_lr),
-                "rap1": rap_lrs(p["rap1"]),
-                "bns1": bn_lrs(p["bns1"]),
-                "conv3x1_2": _const_tree(p["conv3x1_2"], shared_lr),
-                "conv1x3_2": _const_tree(p["conv1x3_2"], shared_lr),
-                "rap2": rap_lrs(p["rap2"]),
-                "bns2": bn_lrs(p["bns2"]),
-            })
-    enc_lr["blocks"] = blocks
+    enc_lr = {
+        "initial": down_lrs(enc["initial"]),
+        "down1": down_lrs(enc["down1"]),
+        "group64": nb_lrs(enc["group64"]),
+        "down2": down_lrs(enc["down2"]),
+        "group128": {dk: nb_lrs(enc["group128"][dk]) for dk in enc["group128"]},
+    }
     dec_lr = [
         _const_tree(d, ds_lr if t == current_task else 0.0)
         for t, d in enumerate(params["decoders"])

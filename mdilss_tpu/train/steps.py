@@ -45,6 +45,14 @@ class ModelState(NamedTuple):
     bn: Any
 
 
+def _host_const(x):
+    """Keep closure constants host-resident: device-resident constants are
+    fetched back through the (slow) device tunnel at every lowering."""
+    import numpy as np
+
+    return np.asarray(x)
+
+
 def init_train_state(params, bn) -> TrainState:
     return TrainState(params=params, bn=bn, opt=optim.init(params))
 
@@ -74,6 +82,7 @@ def make_ce_step(
 
     step(ts, images, labels, rng, epoch) -> (ts', metrics)
     """
+    class_weight = _host_const(class_weight)
 
     def step(ts: TrainState, images, labels, rng, epoch):
         def loss_fn(p):
@@ -108,6 +117,7 @@ def make_distill_step(
 
     step(ts, teacher, images, labels, rng, epoch) -> (ts', metrics)
     """
+    class_weight = _host_const(class_weight)
 
     def step(ts: TrainState, teacher: ModelState, images, labels, rng, epoch):
         rngs = _split(rng, 1 + len(prev_tasks))
@@ -151,6 +161,7 @@ def make_two_phase_distill_step(
 
     step(ts, teacher, images, labels, rng, epoch) -> (ts', metrics)
     """
+    class_weight = _host_const(class_weight)
 
     def step(ts: TrainState, teacher: ModelState, images, labels, rng, epoch):
         rngs = _split(rng, 1 + len(prev_tasks))
@@ -189,6 +200,7 @@ def make_eval_step(apply_fn: ApplyFn, *, task: int, class_weight: jax.Array, num
 
     step(params, bn, images, labels) -> (loss, cm)
     """
+    class_weight = _host_const(class_weight)
 
     def step(params, bn, images, labels):
         logits, _ = apply_fn(params, bn, images, task, training=False)

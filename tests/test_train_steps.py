@@ -175,9 +175,11 @@ def test_step2_trajectory_matches_torch_oracle(ref_mod, rng):
             np.testing.assert_array_equal(v, initial[k], err_msg=k)
         else:
             # trained params: Adam turns near-zero-grad sign noise into +-lr
-            # per step, so the bound is 2 steps * 5e-4 + margin; systematic
-            # errors (wrong group/lr/wd) are orders larger
-            np.testing.assert_allclose(got_final[k], v, atol=1.5e-3, err_msg=k)
+            # per step, so the worst-case bound is 2 steps * 2 * 5e-4 (sign
+            # flip on both sides) + margin; systematic errors (wrong
+            # group/lr/wd) affect most elements, not the noisy ~1%, and are
+            # caught by the gradient check above
+            np.testing.assert_allclose(got_final[k], v, atol=2.5e-3, err_msg=k)
 
 
 def test_distill_step_freeze_semantics(ref_mod):
@@ -197,13 +199,15 @@ def test_distill_step_freeze_semantics(ref_mod):
     y = jax.random.randint(jax.random.key(3), (2, 32, 64), 0, 6)
     ts2, metrics = jax.jit(step, static_argnames=())(ts, teacher, x, y, jax.random.key(4), 1)
 
-    blk = params["encoder"]["blocks"][1]  # first RAP block
-    blk2 = ts2.params["encoder"]["blocks"][1]
+    blk = params["encoder"]["group64"]  # stacked RAP blocks, leaves [5, T, ...]
+    blk2 = ts2.params["encoder"]["group64"]
     # frozen task-0 slices unchanged
-    np.testing.assert_array_equal(np.asarray(blk2["rap1"]["w"][0]), np.asarray(blk["rap1"]["w"][0]))
-    np.testing.assert_array_equal(np.asarray(blk2["bns1"]["scale"][0]), np.asarray(blk["bns1"]["scale"][0]))
+    np.testing.assert_array_equal(np.asarray(blk2["rap1"]["w"][:, 0]), np.asarray(blk["rap1"]["w"][:, 0]))
+    np.testing.assert_array_equal(
+        np.asarray(blk2["bns1"]["scale"][:, 0]), np.asarray(blk["bns1"]["scale"][:, 0])
+    )
     # current task-1 slices moved
-    assert not np.allclose(np.asarray(blk2["rap1"]["w"][1]), np.asarray(blk["rap1"]["w"][1]))
+    assert not np.allclose(np.asarray(blk2["rap1"]["w"][:, 1]), np.asarray(blk["rap1"]["w"][:, 1]))
     # shared convs moved
     assert not np.allclose(np.asarray(blk2["conv3x1_1"]["w"]), np.asarray(blk["conv3x1_1"]["w"]))
     # old decoder frozen, current decoder moved
