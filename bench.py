@@ -1,0 +1,127 @@
+"""Benchmark: ERFNet-RAP incremental-training throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+Headline metric — step-2 (CS->BDD) TRAINING throughput, images/sec/chip, at
+the reference configuration: 512x1024 inputs, batch 6, the full proposed
+method per step (3 model forwards: current task + student prev-task +
+frozen-teacher prev-task; weighted CE + 0.1 * KLD; Adam with differential
+LRs and freeze masks). The loop includes host->device transfer of uint8
+batches and the on-device augmentation, i.e. it measures the deliverable
+pipeline, not a kernel microbenchmark.
+
+Baseline derivation (BASELINE.md): the reference trains step 2 in "30-40
+hours" on 2x GTX 1080 Ti (README.md:14; trainer_files/trainer_OURS.sh:57) =
+150 epochs x 7000 BDD train images / 35 h midpoint ~= 8.33 img/s for the
+2-GPU rig, i.e. 4.17 img/s per accelerator. vs_baseline = ours_per_chip /
+4.17.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_IMG_PER_SEC_PER_GPU = 150 * 7000 / (35 * 3600) / 2  # ~4.17
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from mdilss_tpu.data import CLASS_WEIGHTS
+    from mdilss_tpu.data.transforms import augment_batch
+    from mdilss_tpu.models import erfnet_rap
+    from mdilss_tpu.train import masks, steps
+
+    batch = int(os.environ.get("MDILSS_BENCH_BATCH", "6"))
+    height, width = 512, 1024
+    n_steps = int(os.environ.get("MDILSS_BENCH_STEPS", "20"))
+
+    C = 20
+    s_params, s_bn = erfnet_rap.init(jax.random.key(0), [C, C], 2)
+    t_params, t_bn = erfnet_rap.init(jax.random.key(1), [C], 1)
+    lr_tree = masks.rap_lr_tree(s_params, current_task=1, shared_lr=5e-6, ds_lr=5e-4)
+    step = jax.jit(
+        steps.make_distill_step(
+            erfnet_rap.apply,
+            current_task=1,
+            prev_tasks=(0,),
+            class_weight=CLASS_WEIGHTS["BDD"],
+            lr_tree=lr_tree,
+            num_epochs=150,
+        ),
+        donate_argnums=(0,),
+    )
+    ts = steps.init_train_state(s_params, s_bn)
+    teacher = steps.ModelState(t_params, t_bn)
+
+    # a few distinct host batches, cycled — includes H2D in the measured loop
+    rng_np = np.random.default_rng(0)
+    host_batches = [
+        (
+            rng_np.integers(0, 256, size=(batch, height, width, 3), dtype=np.uint8),
+            rng_np.integers(0, C, size=(batch, height, width)).astype(np.uint8),
+        )
+        for _ in range(4)
+    ]
+
+    key = jax.random.key(7)
+
+    def run_one(i, ts):
+        nonlocal key
+        key, k_aug, k_drop = jax.random.split(key, 3)
+        imgs, lbls = host_batches[i % len(host_batches)]
+        x, y = augment_batch(jnp.asarray(imgs), jnp.asarray(lbls), k_aug, num_classes=C)
+        ts, m = step(ts, teacher, x, y, k_drop, 1)
+        return ts, m
+
+    # warmup (compile). NOTE: on remote-tunnel backends block_until_ready can
+    # return before execution completes; fetching a scalar output is the only
+    # reliable synchronization, so every timing below syncs via float(...).
+    for i in range(2):
+        ts, m = run_one(i, ts)
+    float(m["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        ts, m = run_one(i, ts)
+    float(m["loss"])  # true sync: depends on the whole step chain
+    dt = time.perf_counter() - t0
+    train_ips = batch * n_steps / dt
+
+    # secondary: pure inference throughput (argmax masks), eval mode
+    infer = jax.jit(
+        lambda p, s, x: jnp.argmax(erfnet_rap.apply(p, s, x, 1)[0], -1).sum()
+    )
+    xb = jnp.asarray(host_batches[0][0], jnp.float32) / 255.0
+    int(infer(ts.params, ts.bn, xb))
+    t0 = time.perf_counter()
+    acc = 0
+    for _ in range(n_steps):
+        acc = infer(ts.params, ts.bn, xb)
+    int(acc)
+    infer_ips = batch * n_steps / (time.perf_counter() - t0)
+
+    result = {
+        "metric": "erfnet_rap_step2_train_images_per_sec_per_chip",
+        "value": round(train_ips, 2),
+        "unit": "img/s/chip (512x1024, bs=6, CE+KLD distillation, incl. H2D+augment)",
+        "vs_baseline": round(train_ips / BASELINE_IMG_PER_SEC_PER_GPU, 2),
+        "extras": {
+            "infer_images_per_sec_per_chip": round(infer_ips, 2),
+            "step_ms": round(1000 * dt / n_steps, 1),
+            "baseline_img_per_sec_per_gpu": round(BASELINE_IMG_PER_SEC_PER_GPU, 2),
+            "baseline_source": "README.md:14 35h midpoint, 2x1080Ti, 150ep x 7000 imgs",
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()
