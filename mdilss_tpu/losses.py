@@ -31,10 +31,19 @@ import jax.numpy as jnp
 
 
 def weighted_cross_entropy(logits: jax.Array, targets: jax.Array, weight: jax.Array) -> jax.Array:
-    """Weighted pixel CE. logits [N,H,W,C] float, targets [N,H,W] int, weight [C]."""
+    """Weighted pixel CE. logits [N,H,W,C] float, targets [N,H,W] int, weight [C].
+
+    Implemented with a one-hot mask instead of take_along_axis/table-gather:
+    gathers along the lane (class) axis are an order of magnitude slower on
+    TPU than a compare+select+reduce over the same lanes.
+    """
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-    w = jnp.asarray(weight, jnp.float32)[targets]
+    c = logits.shape[-1]
+    classes = jax.lax.broadcasted_iota(jnp.int32, logp.shape, logp.ndim - 1)
+    onehot = classes == targets[..., None]
+    nll = -jnp.sum(jnp.where(onehot, logp, 0.0), axis=-1)
+    wvec = jnp.asarray(weight, jnp.float32)
+    w = jnp.sum(jnp.where(onehot, wvec, 0.0), axis=-1)
     return jnp.sum(w * nll) / jnp.sum(w)
 
 

@@ -132,7 +132,7 @@ def nb1d_init(rng, ch: int, dilated: int, dtype=jnp.float32):
     return params, {"bn1": bn1_s, "bn2": bn2_s}
 
 
-def nb1d_apply(p: Params, s: State, x, *, dilated: int, dropprob: float, training: bool, rng=None):
+def nb1d_apply(p: Params, s: State, x, *, dilated: int, dropprob: float, training: bool, rng=None, drop_mask=None):
     out = jax.nn.relu(conv2d(x, p["conv3x1_1"]["w"], p["conv3x1_1"]["b"], padding=(1, 0)))
     out = conv2d(out, p["conv1x3_1"]["w"], p["conv1x3_1"]["b"], padding=(0, 1))
     out, bn1_s = _bn_apply(p["bn1"], s["bn1"], out, task=None, training=training)
@@ -142,7 +142,7 @@ def nb1d_apply(p: Params, s: State, x, *, dilated: int, dropprob: float, trainin
     )
     out = conv2d(out, p["conv1x3_2"]["w"], p["conv1x3_2"]["b"], padding=(0, dilated), dilation=(1, dilated))
     out, bn2_s = _bn_apply(p["bn2"], s["bn2"], out, task=None, training=training)
-    out = dropout2d(out, dropprob, rng, training=training)
+    out = dropout2d(out, dropprob, rng, training=training, mask=drop_mask)
     return jax.nn.relu(out + x), {"bn1": bn1_s, "bn2": bn2_s}
 
 
@@ -168,7 +168,8 @@ def nb1d_rap_init(rng, ch: int, dilated: int, nb_tasks: int, dtype=jnp.float32):
 
 
 def nb1d_rap_apply(
-    p: Params, s: State, x, *, task: int, dilated: int, dropprob: float, training: bool, rng=None
+    p: Params, s: State, x, *, task: int, dilated: int, dropprob: float, training: bool,
+    rng=None, drop_mask=None,
 ):
     out = jax.nn.relu(conv2d(x, p["conv3x1_1"]["w"], p["conv3x1_1"]["b"], padding=(1, 0)))
     out = conv2d(out, p["conv1x3_1"]["w"], p["conv1x3_1"]["b"], padding=(0, 1))
@@ -181,7 +182,7 @@ def nb1d_rap_apply(
     out = conv2d(out, p["conv1x3_2"]["w"], p["conv1x3_2"]["b"], padding=(0, dilated), dilation=(1, dilated))
     out = out + conv2d(mid, p["rap2"]["w"][task], p["rap2"]["b"][task])
     out, bn2_s = _bn_apply(p["bns2"], s["bns2"], out, task=task, training=training)
-    out = dropout2d(out, dropprob, rng, training=training)
+    out = dropout2d(out, dropprob, rng, training=training, mask=drop_mask)
     return jax.nn.relu(out + x), {"bns1": bn1_s, "bns2": bn2_s}
 
 

@@ -19,11 +19,14 @@ def init(rng, num_classes: int = 20, dtype=jnp.float32):
     return {"encoder": enc_p, "decoder": dec_p}, {"encoder": enc_s, "decoder": dec_s}
 
 
-def apply(params, state, x, *, training: bool = False, rng=None, remat: bool = False):
+def apply(params, state, x, *, training: bool = False, rng=None, remat: bool = False, fused_infer: bool = False, drop_masks=None):
     """x: [N, H, W, 3] -> logits [N, H, W, num_classes]."""
     feats, enc_s = T.encoder_apply(
         params["encoder"], state["encoder"], x, rap=False, task=None,
-        training=training, rng=rng, remat=remat,
+        training=training, rng=rng, remat=remat, fused_infer=fused_infer,
+        drop_masks=drop_masks,
     )
-    logits, dec_s = T.decoder_apply(params["decoder"], state["decoder"], feats, training=training)
+    logits, dec_s = T.decoder_apply(
+        params["decoder"], state["decoder"], feats, training=training, remat=remat, fused_infer=fused_infer
+    )
     return logits, {"encoder": enc_s, "decoder": dec_s}

@@ -34,13 +34,15 @@ def init(rng, num_classes: Sequence[int], dtype=jnp.float32):
     )
 
 
-def apply(params, state, x, task: int, *, training: bool = False, rng=None, remat: bool = False):
+def apply(params, state, x, task: int, *, training: bool = False, rng=None, remat: bool = False, fused_infer: bool = False, drop_masks=None):
     feats, enc_s = T.encoder_apply(
         params["encoder"], state["encoder"], x, rap=False, task=None,
-        training=training, rng=rng, remat=remat,
+        training=training, rng=rng, remat=remat, fused_infer=fused_infer,
+        drop_masks=drop_masks,
     )
     logits, dec_s = T.decoder_apply(
-        params["decoders"][task], state["decoders"][task], feats, training=training
+        params["decoders"][task], state["decoders"][task], feats,
+        training=training, remat=remat, fused_infer=fused_infer,
     )
     new_dec = list(state["decoders"])
     new_dec[task] = dec_s

@@ -35,7 +35,7 @@ def init(rng, num_classes: Sequence[int] = (20,), nb_tasks: int = 1, dtype=jnp.f
     )
 
 
-def apply(params, state, x, task: int, *, training: bool = False, rng=None, remat: bool = False):
+def apply(params, state, x, task: int, *, training: bool = False, rng=None, remat: bool = False, fused_infer: bool = False, drop_masks=None):
     """x: [N, H, W, 3] -> logits [N, H, W, num_classes[task]].
 
     `task` must be a static Python int (selects adapters/BN slices and the
@@ -44,10 +44,12 @@ def apply(params, state, x, task: int, *, training: bool = False, rng=None, rema
     """
     feats, enc_s = T.encoder_apply(
         params["encoder"], state["encoder"], x, rap=True, task=task,
-        training=training, rng=rng, remat=remat,
+        training=training, rng=rng, remat=remat, fused_infer=fused_infer,
+        drop_masks=drop_masks,
     )
     logits, dec_s = T.decoder_apply(
-        params["decoders"][task], state["decoders"][task], feats, training=training
+        params["decoders"][task], state["decoders"][task], feats,
+        training=training, remat=remat, fused_infer=fused_infer,
     )
     new_dec = list(state["decoders"])
     new_dec[task] = dec_s

@@ -90,9 +90,26 @@ def encoder_init(rng, *, rap: bool, nb_tasks: int | None, dtype):
     )
 
 
-def _scan_blocks(body, x, params, state, rngs, *, training: bool):
-    """Scan `body(carry_x, (params_i, state_i, rng_i)) -> (x', state_i')` over
+# lax.scan vs unrolled: measured on the target chip the scan version is
+# FASTER (332 vs 405 ms/step for the full distill step) in addition to
+# compiling quicker, so scan is the default. The flag remains for profiling.
+UNROLL_GROUPS = False
+
+
+def _scan_blocks(body, x, params, state, rngs, *, training: bool, unroll: bool = False):
+    """Run `body(carry_x, params_i, state_i, rng_i) -> (x', state_i')` over
     the leading group axis; returns (x_out, stacked new states)."""
+    if UNROLL_GROUPS or unroll:
+        n = jax.tree.leaves(params)[0].shape[0]
+        outs = []
+        for i in range(n):
+            p_i = jax.tree.map(lambda a: a[i], params)
+            s_i = jax.tree.map(lambda a: a[i], state)
+            x, ns = body(x, p_i, s_i, rngs[i])
+            outs.append(ns)
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+        return x, stacked
+
     def step(carry, xs):
         p_i, s_i, r_i = xs
         out, ns = body(carry, p_i, s_i, r_i)
@@ -102,58 +119,109 @@ def _scan_blocks(body, x, params, state, rngs, *, training: bool):
     return x_out, new_states
 
 
-def _group_rngs(rng, n: int):
+def dropout_mask_shapes(batch: int) -> dict:
+    """Shapes of the encoder's per-group dropout masks (host-generated).
+
+    ANY in-program RNG (threefry or rbg) feeding the scan bodies costs ~120 ms
+    per train step on the target chip (measured; the same masks passed as jit
+    INPUTS cost nothing), so mask generation lives on the host: the trainer
+    draws numpy bernoulli masks per batch and ships ~10 KB with the images.
+    Keep-probabilities: group64 1-0.03, group128 1-0.3 (models/erfnet.py:75-83).
+    """
+    return {
+        "g64": (5, batch, 1, 1, 64),
+        "g128": (2, len(GROUP128_DILATIONS), batch, 1, 1, 128),
+    }
+
+
+def make_dropout_masks(np_rng, batch: int) -> dict:
+    """Host-side (numpy) bernoulli KEEP-masks for one training step."""
+    import numpy as np
+
+    shapes = dropout_mask_shapes(batch)
+    return {
+        "g64": np_rng.random(shapes["g64"]) < (1 - 0.03),
+        "g128": np_rng.random(shapes["g128"]) < (1 - 0.3),
+    }
+
+
+def _group_masks(rng, shape, keep: float):
+    """Fallback in-program mask draw (slow on the axon runtime — prefer
+    passing host-generated masks via `drop_masks`)."""
     if rng is None:
-        # scan still needs an xs leaf with a leading axis; keys are unused
-        # when rng-driven dropout is off (blocks treat rng=None via flag)
-        return jnp.zeros((n, 2), jnp.uint32), False
-    keys = jax.random.split(rng, n)
-    return jax.random.key_data(keys), True
+        return jnp.zeros(shape, jnp.bool_), False
+    return jax.random.bernoulli(rng, keep, shape), True
 
 
 def encoder_apply(
     params, state, x, *, rap: bool, task: int | None, training: bool, rng=None,
-    remat: bool = False,
+    remat: bool = False, fused_infer: bool = False, drop_masks: dict | None = None,
 ) -> tuple[Any, Any]:
-    """Run the encoder. `task` must be a static int for RAP encoders."""
-    r = list(jax.random.split(rng, 3)) if rng is not None else [None, None, None]
+    """Run the encoder. `task` must be a static int for RAP encoders.
+
+    `fused_infer=True` (eval mode only) runs each nb1d block as ONE Pallas
+    kernel (folded BN, whole block in VMEM) instead of ~10 XLA ops.
+    """
+    fused = fused_infer and not training
+    r = list(jax.random.split(rng, 2)) if rng is not None else [None, None]
     out, init_s = B.downsampler_apply(params["initial"], state["initial"], x, task=task, training=training)
     out, down1_s = B.downsampler_apply(params["down1"], state["down1"], out, task=task, training=training)
 
-    def nb_apply(p, s, xin, dil, drop, key):
+    def nb_apply(p, s, xin, dil, drop, mask):
+        if fused:
+            from ..ops.pallas.nb1d import nb1d_fused_infer
+
+            bn_keys = ("bns1", "bns2") if rap else ("bn1", "bn2")
+            y = nb1d_fused_infer(xin, p, s[bn_keys[0]], s[bn_keys[1]], dilated=dil, task=task)
+            return y, s
         if rap:
             return B.nb1d_rap_apply(
-                p, s, xin, task=task, dilated=dil, dropprob=drop, training=training, rng=key
+                p, s, xin, task=task, dilated=dil, dropprob=drop, training=training,
+                drop_mask=mask,
             )
-        return B.nb1d_apply(p, s, xin, dilated=dil, dropprob=drop, training=training, rng=key)
+        return B.nb1d_apply(
+            p, s, xin, dilated=dil, dropprob=drop, training=training, drop_mask=mask
+        )
 
     # ---- group64: scan over 5 identical nb(64, .03, 1) blocks ----
-    keys64, has_rng = _group_rngs(r[0], 5)
+    n = x.shape[0]
+    if drop_masks is not None and training:
+        masks64, has_m64 = jnp.asarray(drop_masks["g64"]), True
+    else:
+        masks64, has_m64 = _group_masks(r[0], (5, n, 1, 1, 64), 1 - 0.03)
 
-    def body64(xin, p_i, s_i, kd):
-        key = jax.random.wrap_key_data(kd) if has_rng else None
-        return nb_apply(p_i, s_i, xin, 1, 0.03, key)
+    def body64(xin, p_i, s_i, mk):
+        return nb_apply(p_i, s_i, xin, 1, 0.03, mk if has_m64 else None)
 
     if remat:
         body64 = jax.checkpoint(body64)
-    out, g64_s = _scan_blocks(body64, out, params["group64"], state["group64"], keys64, training=training)
+    # pallas_call inside a scanned body trips a lowering-cache bug; the fused
+    # path unrolls (inference does not retrace per epoch, compile cost is one-off)
+    out, g64_s = _scan_blocks(body64, out, params["group64"], state["group64"], masks64,
+                              training=training, unroll=fused)
 
     out, down2_s = B.downsampler_apply(params["down2"], state["down2"], out, task=task, training=training)
 
     # ---- group128: scan [2] x chain(d2, d4, d8, d16) ----
-    keys128, has_rng128 = _group_rngs(r[1], 2 * len(GROUP128_DILATIONS))
-    keys128 = keys128.reshape(2, len(GROUP128_DILATIONS), 2)
+    if drop_masks is not None and training:
+        masks128, has_m128 = jnp.asarray(drop_masks["g128"]), True
+    else:
+        masks128, has_m128 = _group_masks(
+            r[1], (2, len(GROUP128_DILATIONS), n, 1, 1, 128), 1 - 0.3
+        )
 
-    def body128(xin, p_i, s_i, kd):
+    def body128(xin, p_i, s_i, mk):
         new_s = {}
         for j, d in enumerate(GROUP128_DILATIONS):
-            key = jax.random.wrap_key_data(kd[j]) if has_rng128 else None
-            xin, new_s[f"d{d}"] = nb_apply(p_i[f"d{d}"], s_i[f"d{d}"], xin, d, 0.3, key)
+            xin, new_s[f"d{d}"] = nb_apply(
+                p_i[f"d{d}"], s_i[f"d{d}"], xin, d, 0.3, mk[j] if has_m128 else None
+            )
         return xin, new_s
 
     if remat:
         body128 = jax.checkpoint(body128)
-    out, g128_s = _scan_blocks(body128, out, params["group128"], state["group128"], keys128, training=training)
+    out, g128_s = _scan_blocks(body128, out, params["group128"], state["group128"], masks128,
+                               training=training, unroll=fused)
 
     return out, {
         "initial": init_s, "down1": down1_s, "group64": g64_s,
@@ -174,16 +242,26 @@ def decoder_init(rng, num_classes: int, dtype):
     )
 
 
-def decoder_apply(params, state, x, *, training: bool):
+def decoder_apply(params, state, x, *, training: bool, remat: bool = False,
+                  fused_infer: bool = False):
     out, up1_s = B.upsampler_apply(params["up1"], state["up1"], x, training=training)
+    fused = fused_infer and not training
 
     def body(xin, p_i, s_i, _):
+        if fused:
+            from ..ops.pallas.nb1d import nb1d_fused_infer
+
+            return nb1d_fused_infer(xin, p_i, s_i["bn1"], s_i["bn2"], dilated=1), s_i
         return B.nb1d_apply(p_i, s_i, xin, dilated=1, dropprob=0.0, training=training)
 
+    if remat:
+        body = jax.checkpoint(body)
     dummy = jnp.zeros((2, 1))
-    out, g64_s = _scan_blocks(body, out, params["group64"], state["group64"], dummy, training=training)
+    out, g64_s = _scan_blocks(body, out, params["group64"], state["group64"], dummy,
+                              training=training, unroll=fused)
     out, up2_s = B.upsampler_apply(params["up2"], state["up2"], out, training=training)
-    out, g16_s = _scan_blocks(body, out, params["group16"], state["group16"], dummy, training=training)
+    out, g16_s = _scan_blocks(body, out, params["group16"], state["group16"], dummy,
+                              training=training, unroll=fused)
     out = conv_transpose2d(
         out, params["output_conv"]["w"], params["output_conv"]["b"],
         stride=2, padding=0, output_padding=0,

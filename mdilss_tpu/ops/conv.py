@@ -30,6 +30,12 @@ def conv2d(
 ) -> jax.Array:
     """2D convolution matching torch.nn.Conv2d(stride, padding, dilation).
 
+    Stride-1 factorized kernels (kx1 / 1xk / 1x1 — the entire nb1d block) are
+    lowered as ONE shift-stacked matmul instead of a conv: on TPU the dot
+    path avoids the layout-conversion copies XLA inserts around conv
+    *gradients* (profiled at ~130 ms/step), and its autodiff backward is pure
+    matmuls (dW = stackᵀ @ g, dx = g @ Wᵀ un-shifted).
+
     Args:
       x: [N, H, W, Cin] activations.
       w: [kH, kW, Cin, Cout] weights.
@@ -39,6 +45,9 @@ def conv2d(
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
     dh, dw = _pair(dilation)
+    kh, kw = w.shape[0], w.shape[1]
+    if sh == sw == 1 and (kh == 1 or kw == 1) and ph == dh * (kh // 2) and pw == dw * (kw // 2):
+        return _factorized_matmul_conv(x, w, b, dh, dw)
     out = lax.conv_general_dilated(
         x,
         w.astype(x.dtype),  # params live in f32; compute in the activation dtype
@@ -47,7 +56,38 @@ def conv2d(
         rhs_dilation=(dh, dw),
         dimension_numbers=_DIMSPEC,
         precision=precision,
-        preferred_element_type=jnp.float32 if x.dtype == jnp.bfloat16 else None,
+        # NOTE: no preferred_element_type — an f32-widened output makes the
+        # VJP convolve an f32 cotangent with bf16 weights (dtype mismatch);
+        # TPU bf16 convs accumulate in f32 internally regardless.
+    )
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out.astype(x.dtype)
+
+
+def _factorized_matmul_conv(x, w, b, dh: int, dw: int):
+    """'Same'-padded stride-1 kx1/1xk/1x1 conv as one stacked matmul."""
+    kh, kw = w.shape[0], w.shape[1]
+    cin, cout = w.shape[2], w.shape[3]
+    n, h, wd, _ = x.shape
+    taps = []
+    if kh > 1:
+        xp = jnp.pad(x, ((0, 0), (dh * (kh // 2),) * 2, (0, 0), (0, 0)))
+        for k in range(kh):
+            taps.append(xp[:, k * dh : k * dh + h])
+        wmat = w[:, 0].reshape(kh * cin, cout)
+    elif kw > 1:
+        xp = jnp.pad(x, ((0, 0), (0, 0), (dw * (kw // 2),) * 2, (0, 0)))
+        for k in range(kw):
+            taps.append(xp[:, :, k * dw : k * dw + wd])
+        wmat = w[0].reshape(kw * cin, cout)
+    else:
+        taps.append(x)
+        wmat = w[0, 0]
+    stacked = taps[0] if len(taps) == 1 else jnp.concatenate(taps, axis=-1)
+    out = jax.lax.dot_general(
+        stacked, wmat.astype(x.dtype),
+        dimension_numbers=(((3,), (0,)), ((), ())),
     )
     if b is not None:
         out = out + b.astype(out.dtype)
@@ -97,7 +137,6 @@ def conv_transpose2d(
         lhs_dilation=(sh, sw),
         dimension_numbers=_DIMSPEC,
         precision=precision,
-        preferred_element_type=jnp.float32 if x.dtype == jnp.bfloat16 else None,
     )
     if b is not None:
         out = out + b.astype(out.dtype)

@@ -73,23 +73,23 @@ def _rep(mesh):
 
 
 def jit_train_step(step_fn, mesh: Mesh):
-    """jit a `step(ts, images, labels, rng, epoch)` with batch sharding in and
-    replicated state; donates the train state."""
+    """jit a `step(ts, images, labels, masks, rng, epoch)` with batch sharding
+    in and replicated state; donates the train state."""
     data_sh = NamedSharding(mesh, P("data", "spatial"))
     return jax.jit(
         step_fn,
-        in_shardings=(_rep(mesh), data_sh, data_sh, _rep(mesh), _rep(mesh)),
+        in_shardings=(_rep(mesh), data_sh, data_sh, _rep(mesh), _rep(mesh), _rep(mesh)),
         out_shardings=(_rep(mesh), _rep(mesh)),
         donate_argnums=(0,),
     )
 
 
 def jit_distill_step(step_fn, mesh: Mesh):
-    """jit a `step(ts, teacher, images, labels, rng, epoch)` (step 2/3)."""
+    """jit a `step(ts, teacher, images, labels, masks, rng, epoch)` (step 2/3)."""
     data_sh = NamedSharding(mesh, P("data", "spatial"))
     return jax.jit(
         step_fn,
-        in_shardings=(_rep(mesh), _rep(mesh), data_sh, data_sh, _rep(mesh), _rep(mesh)),
+        in_shardings=(_rep(mesh), _rep(mesh), data_sh, data_sh, _rep(mesh), _rep(mesh), _rep(mesh)),
         out_shardings=(_rep(mesh), _rep(mesh)),
         donate_argnums=(0,),
     )

@@ -1,0 +1,325 @@
+"""Epoch-loop trainer for every protocol of the reference.
+
+One Trainer covers the six reference entry points (SURVEY.md §2.5):
+  step1      train_RAPFT_step1.py       — RAP model, everything trainable
+  step2      train_new_task_step2.py    — +1 task, freeze old DS, CE + KLD
+  step3      train_new_task_step3.py    — +1 task, two KLDs (two-phase opt)
+  multitask  train_multi_task.py        — joint round-robin baseline
+  ft / fe    main_ftp1_enc_newbn.py / main_FT2_flexible_new.py — head baselines
+
+Per-epoch mechanics mirror the reference: poly LR by epoch, validation of the
+current task every epoch (old tasks per `eval_old_every`), best-checkpoint
+selection on current-task val IoU (fallback -val_loss,
+train_new_task_step2.py:358-363), `automated_log.txt` rows, and per-epoch
+checkpoints — upgraded to Orbax with true resume.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TrainConfig
+from ..data import CLASS_WEIGHTS, Loader, SyntheticSource, make_source
+from ..data.transforms import augment_batch, prepare_batch
+from ..metrics import IoUEvaluator
+from ..models import erfnet_multihead, erfnet_rap
+from ..parallel import jit_distill_step, jit_eval_step, jit_train_step, make_mesh, replicate, shard_batch
+from ..utils.logging import MetricLogger, getColorEntry
+from . import masks, steps
+from ..ckpt import orbax_io
+from ..losses import kld_corrected, kld_faithful
+
+
+def _model_module(name: str):
+    if name == "erfnet_RA_parallel":
+        return erfnet_rap, True
+    if name in ("erfnet_multi_task", "erfnet_ftp1", "erfnet_ftp2"):
+        return erfnet_multihead, False
+    raise ValueError(f"unknown model {name!r}")
+
+
+class Trainer:
+    def __init__(self, cfg: TrainConfig, *, teacher: steps.ModelState | None = None,
+                 init_params=None, init_bn=None):
+        self.cfg = cfg
+        os.makedirs(cfg.savedir, exist_ok=True)
+        with open(os.path.join(cfg.savedir, "opts.txt"), "w") as f:
+            f.write(cfg.to_json())
+
+        self.model, self.is_rap = _model_module(cfg.model)
+        rng = jax.random.key(cfg.seed)
+        self.rng, init_rng = jax.random.split(rng)
+        if init_params is None:
+            if self.is_rap:
+                init_params, init_bn = self.model.init(
+                    init_rng, list(cfg.num_classes), len(cfg.num_classes)
+                )
+            else:
+                init_params, init_bn = self.model.init(init_rng, list(cfg.num_classes))
+        self.ts = steps.init_train_state(init_params, init_bn)
+        self.teacher = teacher
+
+        with open(os.path.join(cfg.savedir, "model.txt"), "w") as f:
+            sizes = jax.tree.map(lambda a: list(a.shape), init_params)
+            f.write(json.dumps(sizes, indent=1, default=str))
+
+        self._build_data()
+        self._build_steps()
+        self.logger = MetricLogger(cfg.savedir)
+        import numpy as _np
+
+        self._np_rng = _np.random.default_rng(cfg.seed + 1)
+        self.best_acc = -np.inf
+        self.start_epoch = 1
+        if cfg.resume:
+            self._try_resume()
+
+    # ------------------------------------------------------------------
+    def _source(self, name: str, subset: str):
+        cfg = self.cfg
+        if cfg.synthetic or name not in cfg.data_roots:
+            nc = cfg.num_classes[cfg.datasets.index(name)]
+            return SyntheticSource(nc, n=cfg.synthetic_size, height=cfg.height, width=cfg.width,
+                                   seed=hash((name, subset)) % 2**31)
+        return make_source(name, cfg.data_roots[name], subset)
+
+    def _build_data(self):
+        cfg = self.cfg
+        mk = lambda name, subset, shuffle: Loader(
+            self._source(name, subset), batch_size=cfg.batch_size,
+            height=cfg.height, width=cfg.width, shuffle=shuffle,
+            num_threads=cfg.num_workers, seed=cfg.seed,
+        )
+        if cfg.protocol == "multitask":
+            self.train_loaders = {d: mk(d, "train", True) for d in cfg.datasets}
+        else:
+            self.train_loaders = {cfg.datasets[cfg.current_task]: mk(cfg.datasets[cfg.current_task], "train", True)}
+        self.val_loaders = {d: mk(d, "val", False) for d in cfg.datasets}
+
+    def _weight(self, dataset: str) -> np.ndarray:
+        if dataset in CLASS_WEIGHTS:
+            return CLASS_WEIGHTS[dataset]
+        nc = self.cfg.num_classes[self.cfg.datasets.index(dataset)]
+        w = np.ones(nc, np.float32)
+        w[-1] = 0.0
+        return w
+
+    def _build_steps(self):
+        import math
+
+        cfg = self.cfg
+        # clamp the data axis so it divides the batch (a 6-image batch on an
+        # 8-device host uses 2x3 images/device on 2 devices rather than fail)
+        spatial = cfg.spatial_shards
+        data = math.gcd(cfg.batch_size, len(jax.devices()) // spatial)
+        self.mesh = make_mesh(data * spatial, spatial=spatial)
+        apply_fn = self.model.apply
+        if cfg.remat or cfg.compute_dtype != "float32":
+            dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+            base_apply = self.model.apply
+
+            def apply_fn(p, s, x, task, **kw):
+                logits, new_s = base_apply(p, s, x.astype(dtype), task, remat=cfg.remat, **kw)
+                return logits.astype(jnp.float32), new_s
+
+        kld_fn = kld_faithful if cfg.kld == "faithful" else kld_corrected
+        cur = cfg.current_task
+        cur_ds = cfg.datasets[cur]
+
+        if self.is_rap:
+            lr_tree = masks.rap_lr_tree(
+                self.ts.params, current_task=cur,
+                shared_lr=cfg.shared_lr_value(), ds_lr=cfg.lr,
+            )
+        elif cfg.protocol == "multitask":
+            lr_tree = masks.multihead_lr_tree(
+                self.ts.params, encoder_lr=cfg.shared_lr_value(), decoder_lr=cfg.lr
+            )
+        else:  # ft / fe: old heads frozen; encoder trainable only for ft
+            dec_lrs = [0.0] * len(cfg.datasets)
+            dec_lrs[cur] = cfg.lr
+            lr_tree = masks.multihead_lr_tree(
+                self.ts.params,
+                encoder_lr=cfg.lr if cfg.protocol == "ft" else 0.0,
+                decoder_lrs=dec_lrs,
+            )
+
+        common = dict(lr_tree=lr_tree, num_epochs=cfg.num_epochs, weight_decay=cfg.weight_decay)
+        self.train_steps: dict[str, Any] = {}
+        if cfg.protocol in ("step1", "ft", "fe"):
+            self.train_steps[cur_ds] = jit_train_step(
+                steps.make_ce_step(apply_fn, task=cur, class_weight=self._weight(cur_ds), **common),
+                self.mesh,
+            )
+        elif cfg.protocol == "multitask":
+            for t, d in enumerate(cfg.datasets):
+                self.train_steps[d] = jit_train_step(
+                    steps.make_ce_step(apply_fn, task=t, class_weight=self._weight(d), **common),
+                    self.mesh,
+                )
+        elif cfg.protocol == "step2" or (cfg.protocol == "step3" and not cfg.two_phase):
+            prev = tuple(range(cur - 1, -1, -1))  # newest-to-oldest, ref order
+            self.train_steps[cur_ds] = jit_distill_step(
+                steps.make_distill_step(
+                    apply_fn, current_task=cur, prev_tasks=prev,
+                    class_weight=self._weight(cur_ds), lambda_c=cfg.lambda_c,
+                    kld_fn=kld_fn, **common,
+                ),
+                self.mesh,
+            )
+        elif cfg.protocol == "step3":
+            prev = tuple(range(cur - 1, -1, -1))
+            self.train_steps[cur_ds] = jit_distill_step(
+                steps.make_two_phase_distill_step(
+                    apply_fn, current_task=cur, prev_tasks=prev,
+                    class_weight=self._weight(cur_ds), lambda_c=cfg.lambda_c,
+                    kld_fn=kld_fn, **common,
+                ),
+                self.mesh,
+            )
+        else:
+            raise ValueError(cfg.protocol)
+
+        self.eval_steps = {
+            d: jit_eval_step(
+                steps.make_eval_step(
+                    apply_fn, task=t, class_weight=self._weight(d),
+                    num_classes=cfg.num_classes[t],
+                ),
+                self.mesh,
+            )
+            for t, d in enumerate(cfg.datasets)
+        }
+
+    # ------------------------------------------------------------------
+    def _try_resume(self):
+        ckpt_dir = os.path.join(self.cfg.savedir, "ckpt")
+        last = orbax_io.latest_epoch(ckpt_dir)
+        if last is None:
+            print("resume requested but no checkpoint found; starting fresh")
+            return
+        self.ts, epoch, self.best_acc, self.rng = orbax_io.restore(ckpt_dir, self.ts)
+        self.start_epoch = epoch + 1
+        print(f"resumed from epoch {epoch} (best_acc {self.best_acc:.4f})")
+
+    def _next_rng(self):
+        self.rng, out = jax.random.split(self.rng)
+        return out
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, epoch: int) -> dict:
+        cfg = self.cfg
+        t0 = time.time()
+        losses = {k: [] for k in ("loss", "ce", "kld")}
+        if cfg.protocol == "multitask":
+            for ld in self.train_loaders.values():
+                ld.set_epoch(epoch)
+            iters = {d: iter(ld) for d, ld in self.train_loaders.items()}
+            n_iters = min(len(ld) for ld in self.train_loaders.values())
+            for _ in range(n_iters):
+                for t, d in enumerate(cfg.datasets):
+                    imgs, lbls, _ = next(iters[d])
+                    self._one_batch(d, t, imgs, lbls, epoch, losses)
+        else:
+            cur = cfg.current_task
+            d = cfg.datasets[cur]
+            ld = self.train_loaders[d]
+            ld.set_epoch(epoch)
+            for imgs, lbls, _ in ld:
+                self._one_batch(d, cur, imgs, lbls, epoch, losses)
+        out = {f"train_{k}": float(np.mean(v)) for k, v in losses.items() if v}
+        out["epoch_seconds"] = time.time() - t0
+        return out
+
+    def _one_batch(self, dataset: str, task: int, imgs, lbls, epoch: int, losses):
+        from ..models.topology import make_dropout_masks
+
+        nc = self.cfg.num_classes[task]
+        x, y = augment_batch(jnp.asarray(imgs), jnp.asarray(lbls), self._next_rng(), num_classes=nc)
+        x, y = shard_batch(self.mesh, x, y)
+        step = self.train_steps[dataset]
+        if self.teacher is not None and self.cfg.protocol in ("step2", "step3"):
+            n_fwd = 1 + self.cfg.current_task
+            masks = [make_dropout_masks(self._np_rng, x.shape[0]) for _ in range(n_fwd)]
+            self.ts, m = step(self.ts, self.teacher, x, y, masks, self._next_rng(), epoch)
+        else:
+            masks = make_dropout_masks(self._np_rng, x.shape[0])
+            self.ts, m = step(self.ts, x, y, masks, self._next_rng(), epoch)
+        for k in losses:
+            if k in m:
+                losses[k].append(float(m[k]))
+
+    def evaluate(self, dataset: str, epoch: int) -> tuple[float, float]:
+        """Returns (avg val loss, val mIoU) for one domain."""
+        cfg = self.cfg
+        t = cfg.datasets.index(dataset)
+        nc = cfg.num_classes[t]
+        ev = IoUEvaluator(nc, nc - 1)
+        losses = []
+        estep = self.eval_steps[dataset]
+        for imgs, lbls, valid in self.val_loaders[dataset]:
+            x, y = prepare_batch(jnp.asarray(imgs), jnp.asarray(lbls), num_classes=nc)
+            # padded samples -> all-ignore labels: contribute to neither CE nor IoU
+            y = jnp.where(jnp.asarray(valid)[:, None, None], y, nc - 1)
+            x, y = shard_batch(self.mesh, x, y)
+            loss, cm = estep(self.ts.params, self.ts.bn, x, y)
+            losses.append(float(loss))
+            ev.add_confusion(cm)
+        miou, _ = ev.get_iou()
+        return float(np.mean(losses)), miou
+
+    # ------------------------------------------------------------------
+    def fit(self) -> dict:
+        cfg = self.cfg
+        cur_ds = cfg.datasets[cfg.current_task]
+        history = {}
+        for epoch in range(self.start_epoch, cfg.num_epochs + 1):
+            stats = self.train_epoch(epoch)
+            row = dict(epoch=epoch, **stats)
+
+            if epoch % cfg.eval_every == 0:
+                val_loss, val_iou = self.evaluate(cur_ds, epoch)
+                row[f"val_loss_{cur_ds}"] = val_loss
+                row[f"val_acc_{cur_ds}"] = val_iou
+                color = getColorEntry(val_iou)
+                print(f"epoch {epoch}: val {cur_ds} IoU {color}{val_iou * 100:.2f}\033[0m%")
+            else:
+                val_loss, val_iou = 0.0, 0.0
+
+            if cfg.protocol in ("step2", "step3", "multitask", "ft", "fe") and epoch % cfg.eval_old_every == 0:
+                for d in cfg.datasets:
+                    if d == cur_ds:
+                        continue
+                    l, i = self.evaluate(d, epoch)
+                    row[f"val_loss_{d}"] = l
+                    row[f"val_acc_{d}"] = i
+
+            if cfg.protocol == "multitask":
+                accs = [v for k, v in row.items() if k.startswith("val_acc_")]
+                current_acc = float(np.mean(accs)) if accs else -row.get("val_loss_" + cur_ds, 0.0)
+            else:
+                current_acc = val_iou if val_iou != 0 else -val_loss
+            is_best = current_acc > self.best_acc
+            self.best_acc = max(self.best_acc, current_acc)
+
+            self.logger.log(row)
+            self.logger.automated_log_row(
+                epoch, row.get("train_loss", 0.0), row.get(f"val_loss_{cur_ds}", 0.0),
+                0.0, row.get(f"val_acc_{cur_ds}", 0.0),
+                float(cfg.lr * (1 - (epoch - 1) / cfg.num_epochs) ** 0.9),
+            )
+            orbax_io.save(os.path.join(cfg.savedir, "ckpt"), epoch, self.ts,
+                          best_acc=self.best_acc, rng=self.rng)
+            if is_best:
+                with open(os.path.join(cfg.savedir, "best.txt"), "w") as f:
+                    f.write(f"Best epoch is {epoch}, with Val-IoU= {current_acc:.4f}")
+                orbax_io.save(os.path.join(cfg.savedir, "best"), epoch, self.ts,
+                              best_acc=self.best_acc, rng=self.rng)
+            history = row
+        return history

@@ -1,0 +1,116 @@
+"""Protocol builders: checkpoint-loading rules per incremental step.
+
+Implements the init schemes of SURVEY.md §2.6 end-to-end:
+
+  step1      ImageNet-pretrained encoder, module.features->module, strict=False
+             (train_RAPFT_step1.py:482-502)
+  step2/3    previous-step checkpoint: teacher loads it verbatim; the student
+             grows by one task via pytree surgery (new DS slots seeded from
+             task t-1, new decoder = copy sans output_conv)
+             (train_new_task_step2.py:480-532)
+  ft / fe    single-task CS checkpoint: decoder -> head 0, new head fresh
+             (main_ftp1_enc_newbn.py:212-221); 3-head variant remaps
+             decoder_old->head0, decoder_new->head1 (main_FT2_flexible_new.py:200-213)
+
+Checkpoints may be reference .pth.tar files (via the converter) or this
+framework's own Orbax runs (<savedir>/best).
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+
+from ..ckpt import (
+    convert_state_dict,
+    extend_for_new_task,
+    load_imagenet_encoder,
+    load_pth_tar,
+    orbax_io,
+)
+from ..config import TrainConfig
+from ..models import erfnet_multihead, erfnet_rap
+from . import steps
+from .loop import Trainer
+
+
+def _load_params(path: str, *, kind: str, nb_tasks: int, num_classes, seed=0):
+    """Load (params, bn) from a .pth.tar or an Orbax checkpoint directory."""
+    if os.path.isdir(path):
+        if kind != "rap":
+            raise ValueError("orbax restore currently supports the RAP model")
+        template_p, template_b = erfnet_rap.init(jax.random.key(seed), list(num_classes), nb_tasks)
+        ts, *_ = orbax_io.restore(path, steps.init_train_state(template_p, template_b))
+        return ts.params, ts.bn
+    sd = load_pth_tar(path)
+    return convert_state_dict(sd, kind=kind, nb_tasks=nb_tasks)
+
+
+def build_trainer(cfg: TrainConfig) -> Trainer:
+    if cfg.protocol == "step1":
+        return _build_step1(cfg)
+    if cfg.protocol in ("step2", "step3"):
+        return _build_incremental(cfg)
+    if cfg.protocol in ("ft", "fe"):
+        return _build_ft(cfg)
+    if cfg.protocol == "multitask":
+        return Trainer(cfg)
+    raise ValueError(cfg.protocol)
+
+
+def _build_step1(cfg: TrainConfig) -> Trainer:
+    params, bn = erfnet_rap.init(jax.random.key(cfg.seed), list(cfg.num_classes), 1)
+    src = cfg.pretrained_encoder or cfg.state
+    if src:
+        sd = load_pth_tar(src)
+        params, bn = load_imagenet_encoder(params, bn, sd, kind="rap")
+    return Trainer(cfg, init_params=params, init_bn=bn)
+
+
+def _build_incremental(cfg: TrainConfig) -> Trainer:
+    nb_prev = len(cfg.num_classes) - 1
+    if cfg.state:
+        prev_p, prev_b = _load_params(
+            cfg.state, kind="rap", nb_tasks=nb_prev,
+            num_classes=cfg.num_classes[:nb_prev], seed=cfg.seed,
+        )
+    else:  # smoke runs without a real previous checkpoint
+        prev_p, prev_b = erfnet_rap.init(
+            jax.random.key(cfg.seed + 1), list(cfg.num_classes[:nb_prev]), nb_prev
+        )
+    import jax.numpy as jnp
+
+    # the student's shared weights alias prev_p after surgery; the teacher
+    # must own distinct buffers or donation of the student train state would
+    # invalidate them (`f(donate(a), a)`)
+    teacher = steps.ModelState(
+        jax.tree.map(jnp.array, prev_p), jax.tree.map(jnp.array, prev_b)
+    )
+    params, bn = extend_for_new_task(
+        prev_p, prev_b, cfg.num_classes[-1], jax.random.key(cfg.seed)
+    )
+    return Trainer(cfg, teacher=teacher, init_params=params, init_bn=bn)
+
+
+def _build_ft(cfg: TrainConfig) -> Trainer:
+    params, bn = erfnet_multihead.init(jax.random.key(cfg.seed), list(cfg.num_classes))
+    if cfg.state:
+        if len(cfg.num_classes) == 2:
+            # single-task erfnet ckpt: encoder + decoder -> head 0
+            loaded_p, loaded_b = _load_params(
+                cfg.state, kind="erfnet", nb_tasks=1, num_classes=cfg.num_classes[:1]
+            )
+            params = {"encoder": loaded_p["encoder"],
+                      "decoders": [loaded_p["decoder"], params["decoders"][1]]}
+            bn = {"encoder": loaded_b["encoder"],
+                  "decoders": [loaded_b["decoder"], bn["decoders"][1]]}
+        else:
+            # ftp1 ckpt: decoder_old -> head0, decoder_new -> head1
+            loaded_p, loaded_b = _load_params(
+                cfg.state, kind="ftp1", nb_tasks=2, num_classes=cfg.num_classes[:2]
+            )
+            params = {"encoder": loaded_p["encoder"],
+                      "decoders": [*loaded_p["decoders"], params["decoders"][2]]}
+            bn = {"encoder": loaded_b["encoder"],
+                  "decoders": [*loaded_b["decoders"], bn["decoders"][2]]}
+    return Trainer(cfg, init_params=params, init_bn=bn)

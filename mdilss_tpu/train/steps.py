@@ -80,13 +80,17 @@ def make_ce_step(
 ):
     """Plain weighted-CE training step (step 1 / multi-task domain turn / FT).
 
-    step(ts, images, labels, rng, epoch) -> (ts', metrics)
+    step(ts, images, labels, masks, rng, epoch) -> (ts', metrics)
+    `masks` are host-generated dropout masks (topology.make_dropout_masks) or
+    None (falls back to in-program RNG — slow on the axon runtime).
     """
     class_weight = _host_const(class_weight)
 
-    def step(ts: TrainState, images, labels, rng, epoch):
+    def step(ts: TrainState, images, labels, masks, rng, epoch):
         def loss_fn(p):
-            logits, new_bn = apply_fn(p, ts.bn, images, task, training=True, rng=rng)
+            logits, new_bn = apply_fn(
+                p, ts.bn, images, task, training=True, rng=rng, drop_masks=masks
+            )
             return weighted_cross_entropy(logits, labels, class_weight), new_bn
 
         (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params)
@@ -110,25 +114,38 @@ def make_distill_step(
     lambda_c: float = 0.1,
     kld_fn=kld_faithful,
     weight_decay: float = 1e-4,
+    remat_prev: bool = True,
 ):
     """Single-backward distillation step (the proposed method's step 2; also
     the fused fast path for step 3): total = CE + lambda_c * sum KLD_prev
     (train_new_task_step2.py:285-306).
 
+    `remat_prev` checkpoints the previous-task student forwards: their
+    activations are recomputed in the backward pass instead of stored, cutting
+    peak HBM by roughly one forward per previous task (numerically identical).
+
     step(ts, teacher, images, labels, rng, epoch) -> (ts', metrics)
     """
     class_weight = _host_const(class_weight)
 
-    def step(ts: TrainState, teacher: ModelState, images, labels, rng, epoch):
+    def step(ts: TrainState, teacher: ModelState, images, labels, masks, rng, epoch):
         rngs = _split(rng, 1 + len(prev_tasks))
+        mask_list = masks if isinstance(masks, (list, tuple)) else [masks] * (1 + len(prev_tasks))
 
         def loss_fn(p):
             bn = ts.bn
-            logits, bn = apply_fn(p, bn, images, current_task, training=True, rng=rngs[0])
+            logits, bn = apply_fn(
+                p, bn, images, current_task, training=True, rng=rngs[0], drop_masks=mask_list[0]
+            )
             ce = weighted_cross_entropy(logits, labels, class_weight)
             kld = jnp.float32(0.0)
             for i, t in enumerate(prev_tasks):
-                s_logits, bn = apply_fn(p, bn, images, t, training=True, rng=rngs[1 + i])
+                prev_fwd = lambda p_, bn_, x_, r_, mk_, t=t: apply_fn(
+                    p_, bn_, x_, t, training=True, rng=r_, drop_masks=mk_
+                )
+                if remat_prev:
+                    prev_fwd = jax.checkpoint(prev_fwd)
+                s_logits, bn = prev_fwd(p, bn, images, rngs[1 + i], mask_list[1 + i])
                 t_logits, _ = apply_fn(teacher.params, teacher.bn, images, t, training=False)
                 kld = kld + kld_fn(s_logits, jax.lax.stop_gradient(t_logits))
             return ce + lambda_c * kld, (bn, ce, kld)
@@ -163,12 +180,15 @@ def make_two_phase_distill_step(
     """
     class_weight = _host_const(class_weight)
 
-    def step(ts: TrainState, teacher: ModelState, images, labels, rng, epoch):
+    def step(ts: TrainState, teacher: ModelState, images, labels, masks, rng, epoch):
         rngs = _split(rng, 1 + len(prev_tasks))
+        mask_list = masks if isinstance(masks, (list, tuple)) else [masks] * (1 + len(prev_tasks))
         lr_scale = poly_lr_factor(epoch, num_epochs)
 
         def ce_loss(p):
-            logits, bn = apply_fn(p, ts.bn, images, current_task, training=True, rng=rngs[0])
+            logits, bn = apply_fn(
+                p, ts.bn, images, current_task, training=True, rng=rngs[0], drop_masks=mask_list[0]
+            )
             return weighted_cross_entropy(logits, labels, class_weight), bn
 
         (ce, bn1), g1 = jax.value_and_grad(ce_loss, has_aux=True)(ts.params)
@@ -180,7 +200,12 @@ def make_two_phase_distill_step(
             bn = bn1
             kld = jnp.float32(0.0)
             for i, t in enumerate(prev_tasks):
-                s_logits, bn = apply_fn(p, bn, images, t, training=True, rng=rngs[1 + i])
+                prev_fwd = jax.checkpoint(
+                    lambda p_, bn_, x_, r_, mk_, t=t: apply_fn(
+                        p_, bn_, x_, t, training=True, rng=r_, drop_masks=mk_
+                    )
+                )
+                s_logits, bn = prev_fwd(p, bn, images, rngs[1 + i], mask_list[1 + i])
                 t_logits, _ = apply_fn(teacher.params, teacher.bn, images, t, training=False)
                 kld = kld + kld_fn(s_logits, jax.lax.stop_gradient(t_logits))
             return lambda_c * kld, (bn, kld)

@@ -1,3 +1,4 @@
 from .host import init_on_host, on_cpu
+from .logging import MetricLogger, getColorEntry
 
-__all__ = ["init_on_host", "on_cpu"]
+__all__ = ["init_on_host", "on_cpu", "MetricLogger", "getColorEntry"]

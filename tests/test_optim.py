@@ -55,7 +55,10 @@ def test_adam_matches_torch_with_groups_and_freeze(rng):
             np.asarray(jparams[k]), tparams[k].detach().numpy(), atol=1e-6, rtol=1e-5, err_msg=k
         )
     np.testing.assert_array_equal(np.asarray(jparams["frozen"]), params_np["frozen"])
-    np.testing.assert_array_equal(np.asarray(jopt.m["frozen"]), np.zeros(shapes["frozen"]))
+    # moments stay exactly zero wherever lr == 0 (flat layout)
+    flat_lr = optim._flat_lr(jparams, lr_tree)
+    np.testing.assert_array_equal(np.asarray(jopt.m)[flat_lr == 0], 0.0)
+    np.testing.assert_array_equal(np.asarray(jopt.v)[flat_lr == 0], 0.0)
 
 
 def test_zeroed_grad_step_applies_weight_decay_only(rng):

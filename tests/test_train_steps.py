@@ -117,7 +117,7 @@ def test_step2_trajectory_matches_torch_oracle(ref_mod, rng):
     teacher = steps.ModelState(t_params, t_bn)
     our_losses = []
     for x, y in batches:
-        ts, metrics = step(ts, teacher, jnp.asarray(x), jnp.asarray(y), None, 1)
+        ts, metrics = step(ts, teacher, jnp.asarray(x), jnp.asarray(y), None, None, 1)
         our_losses.append((float(metrics["ce"]), float(metrics["kld"])))
 
     # batch 1 compares fresh states tightly; batch 2 sees the O(1e-4) param
@@ -197,7 +197,7 @@ def test_distill_step_freeze_semantics(ref_mod):
     ts = steps.init_train_state(params, bn)
     x = jax.random.normal(jax.random.key(2), (2, 32, 64, 3))
     y = jax.random.randint(jax.random.key(3), (2, 32, 64), 0, 6)
-    ts2, metrics = jax.jit(step, static_argnames=())(ts, teacher, x, y, jax.random.key(4), 1)
+    ts2, metrics = jax.jit(step, static_argnames=())(ts, teacher, x, y, None, jax.random.key(4), 1)
 
     blk = params["encoder"]["group64"]  # stacked RAP blocks, leaves [5, T, ...]
     blk2 = ts2.params["encoder"]["group64"]
@@ -235,7 +235,7 @@ def test_ce_step_loss_decreases():
     y = jax.random.randint(jax.random.key(2), (2, 32, 64), 0, 5)
     losses = []
     for i in range(8):
-        ts, m = step(ts, x, y, jax.random.key(10 + i), 1)
+        ts, m = step(ts, x, y, None, jax.random.key(10 + i), 1)
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0] - 0.02, losses
 
@@ -252,6 +252,6 @@ def test_two_phase_step_applies_two_optimizer_updates():
     ts = steps.init_train_state(params, bn)
     x = jax.random.normal(jax.random.key(2), (1, 32, 64, 3))
     y = jax.random.randint(jax.random.key(3), (1, 32, 64), 0, 8)
-    ts2, m = jax.jit(step)(ts, steps.ModelState(tp, tb), x, y, jax.random.key(4), 1)
+    ts2, m = jax.jit(step)(ts, steps.ModelState(tp, tb), x, y, None, jax.random.key(4), 1)
     assert int(ts2.opt.count) == 2  # two Adam applications per batch (faithful)
     assert np.isfinite(float(m["loss"]))

@@ -1,0 +1,108 @@
+"""Trainer-loop tests: artifacts, checkpoint round-trip, resume, protocols."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from mdilss_tpu import config as C
+from mdilss_tpu.ckpt import orbax_io
+from mdilss_tpu.models import erfnet_rap
+from mdilss_tpu.train import steps
+from mdilss_tpu.train.protocols import build_trainer
+
+TINY = dict(synthetic=True, synthetic_size=4, batch_size=2, height=32, width=64,
+            num_workers=2)
+
+
+def test_step1_trainer_artifacts(tmp_path):
+    cfg = C.step1(num_epochs=2, savedir=str(tmp_path / "run"), **TINY)
+    tr = build_trainer(cfg)
+    final = tr.fit()
+    assert np.isfinite(final["train_loss"])
+    for f in ("opts.txt", "model.txt", "automated_log.txt", "best.txt", "metrics.jsonl"):
+        assert (tmp_path / "run" / f).exists(), f
+    rows = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
+    assert [r["epoch"] for r in rows] == [1, 2]
+    log = open(tmp_path / "run" / "automated_log.txt").read()
+    assert log.startswith("Epoch\t\tTrain-loss")
+    assert len(log.strip().splitlines()) == 3  # header + 2 epochs
+
+
+def test_orbax_round_trip(tmp_path):
+    params, bn = erfnet_rap.init(jax.random.key(0), [6], 1)
+    ts = steps.init_train_state(params, bn)
+    rng = jax.random.key(5)
+    orbax_io.save(str(tmp_path / "ck"), 3, ts, best_acc=0.42, rng=rng)
+    ts2, epoch, best, rng2 = orbax_io.restore(str(tmp_path / "ck"), ts)
+    assert epoch == 3 and best == pytest.approx(0.42)
+    for a, b in zip(jax.tree.leaves(ts.params), jax.tree.leaves(ts2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        jax.random.key_data(rng), jax.random.key_data(rng2)
+    )
+
+
+def test_resume_continues(tmp_path):
+    cfg = C.step1(num_epochs=2, savedir=str(tmp_path / "run"), resume=True, **TINY)
+    build_trainer(cfg).fit()
+    cfg2 = C.step1(num_epochs=4, savedir=str(tmp_path / "run"), resume=True, **TINY)
+    tr2 = build_trainer(cfg2)
+    assert tr2.start_epoch == 3
+    tr2.fit()
+    rows = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
+    assert [r["epoch"] for r in rows] == [1, 2, 3, 4]
+
+
+def test_step2_trainer_distills_and_freezes(tmp_path):
+    cfg = C.step2(num_epochs=1, savedir=str(tmp_path / "run"), **TINY)
+    tr = build_trainer(cfg)
+    before_dec0 = np.asarray(tr.ts.params["decoders"][0]["output_conv"]["w"]).copy()
+    teacher_before = np.asarray(tr.teacher.params["encoder"]["down1"]["conv"]["w"]).copy()
+    final = tr.fit()
+    assert "train_kld" in final and np.isfinite(final["train_kld"])
+    assert "val_acc_cityscapes" in final  # old task validated
+    # old decoder frozen; teacher untouched
+    np.testing.assert_array_equal(
+        np.asarray(tr.ts.params["decoders"][0]["output_conv"]["w"]), before_dec0
+    )
+    np.testing.assert_array_equal(
+        np.asarray(tr.teacher.params["encoder"]["down1"]["conv"]["w"]), teacher_before
+    )
+
+
+def test_step3_two_phase_runs(tmp_path):
+    cfg = C.step3(num_epochs=1, savedir=str(tmp_path / "run"),
+                  eval_old_every=1, **TINY)
+    tr = build_trainer(cfg)
+    final = tr.fit()
+    assert int(tr.ts.opt.count) == 2 * 2  # 2 batches x 2 optimizer steps
+    assert "val_acc_BDD" in final and "val_acc_cityscapes" in final
+
+
+def test_multitask_round_robin(tmp_path):
+    cfg = C.multitask(num_epochs=1, eval_every=1, savedir=str(tmp_path / "run"), **TINY)
+    tr = build_trainer(cfg)
+    final = tr.fit()
+    # one update per domain per iteration: 2 iters x 3 domains
+    assert int(tr.ts.opt.count) == 6
+
+
+def test_ft_freezes_encoder_in_fe_mode(tmp_path):
+    cfg = C.ft_step(n_heads=2, finetune=False, num_epochs=1,
+                    savedir=str(tmp_path / "run"), **TINY)
+    tr = build_trainer(cfg)
+    enc_before = np.asarray(tr.ts.params["encoder"]["down1"]["conv"]["w"]).copy()
+    head0_before = np.asarray(tr.ts.params["decoders"][0]["output_conv"]["w"]).copy()
+    tr.fit()
+    np.testing.assert_array_equal(
+        np.asarray(tr.ts.params["encoder"]["down1"]["conv"]["w"]), enc_before
+    )
+    np.testing.assert_array_equal(
+        np.asarray(tr.ts.params["decoders"][0]["output_conv"]["w"]), head0_before
+    )
+    assert not np.allclose(
+        np.asarray(tr.ts.params["decoders"][1]["output_conv"]["w"]), head0_before
+    )
