@@ -43,6 +43,8 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--dtype", choices=("float32", "bfloat16"), default="float32")
     p.add_argument("--synthetic", action="store_true", help="synthetic data smoke run")
     p.add_argument("--synthetic-size", type=int, default=24)
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of a few train steps here")
     p.add_argument(
         "--data-root", action="append", default=[], metavar="NAME=PATH",
         help="dataset root, e.g. --data-root cityscapes=/data/cs (repeatable)",
@@ -58,6 +60,7 @@ def _common_kwargs(args) -> dict:
         num_workers=args.num_workers, resume=args.resume, seed=args.seed,
         remat=args.remat, compute_dtype=args.dtype, synthetic=args.synthetic,
         synthetic_size=args.synthetic_size, data_roots=roots,
+        profile_dir=args.profile_dir,
     )
 
 
@@ -82,6 +85,11 @@ def main(argv=None):
     pm = sub.add_parser("multitask", help="joint multi-task baseline")
     _add_common(pm)
 
+    ps = sub.add_parser("single", help="independent single-task ERFNet baseline")
+    ps.add_argument("--dataset", default="cityscapes",
+                    choices=("cityscapes", "BDD", "IDD", "IDD_union"))
+    _add_common(ps)
+
     pf = sub.add_parser("ft", help="fine-tuning baselines (2 or 3 heads)")
     pf.add_argument("--heads", type=int, choices=(2, 3), default=2)
     pf.add_argument("--feature-extraction", action="store_true",
@@ -98,6 +106,35 @@ def main(argv=None):
     pe.add_argument("--width", type=int, default=1024)
     pe.add_argument("--synthetic", action="store_true")
     pe.add_argument("--data-root", action="append", default=[], metavar="NAME=PATH")
+
+    def _add_analysis_common(p):
+        p.add_argument("ckpt")
+        p.add_argument("--kind", choices=("rap", "erfnet", "multi_task", "ftp1", "ftp2"),
+                       default="rap")
+        p.add_argument("--dataset", default="cityscapes")
+        p.add_argument("--subset", default="val")
+        p.add_argument("--task", type=int, default=0)
+        p.add_argument("--num-classes", type=int, nargs="+", default=[20])
+        p.add_argument("--height", type=int, default=512)
+        p.add_argument("--width", type=int, default=1024)
+        p.add_argument("--synthetic", action="store_true")
+        p.add_argument("--data-root", action="append", default=[], metavar="NAME=PATH")
+
+    pt = sub.add_parser("tsne", help="latent-space t-SNE plot (Plot_Tsne_Notebook)")
+    _add_analysis_common(pt)
+    pt.add_argument("--which", choices=("encoder", "penultimate", "logits"),
+                    default="encoder")
+    pt.add_argument("--out", default="tsne_plots/tsne.png")
+    pt.add_argument("--n-samples", type=int, default=20000)
+    pt.add_argument("--first-image", action="store_true",
+                    help="use the first val image instead of the notebook's "
+                         "17-unique-labels diversity pick")
+
+    pp = sub.add_parser("predict", help="write colorized prediction maps")
+    _add_analysis_common(pp)
+    pp.add_argument("--out-dir", default="predictions")
+    pp.add_argument("--max-images", type=int, default=None)
+    pp.add_argument("--save-gt", action="store_true")
 
     pc = sub.add_parser("convert", help="convert .pth.tar <-> framework params")
     pc.add_argument("src")
@@ -125,6 +162,43 @@ def main(argv=None):
         print(json.dumps({k: round(v, 4) for k, v in results.items()}))
         return
 
+    if args.cmd in ("tsne", "predict"):
+        from .analysis.names import NAMES_BY_DATASET
+        from .data import SyntheticSource, make_source
+        from .evaluate import load_checkpoint
+
+        roots = dict(kv.split("=", 1) for kv in args.data_root)
+        nc = args.num_classes[args.task]
+        apply_fn, params, bn = load_checkpoint(
+            args.ckpt, kind=args.kind, num_classes=args.num_classes
+        )
+        if args.synthetic or args.dataset not in roots:
+            source = SyntheticSource(nc, n=8, height=args.height, width=args.width)
+        else:
+            source = make_source(args.dataset, roots[args.dataset], args.subset)
+        if args.cmd == "tsne":
+            from .analysis.tsne import run_tsne
+
+            out = run_tsne(
+                apply_fn, params, bn, source, task=args.task, num_classes=nc,
+                out_path=args.out, which=args.which, n_samples=args.n_samples,
+                class_names=NAMES_BY_DATASET.get(args.dataset, NAMES_BY_DATASET["cityscapes"]),
+                select=(lambda labels, n: True) if args.first_image else None,
+                height=args.height, width=args.width,
+            )
+            print(json.dumps({"image": out["image"], "plot": out["plot"],
+                              "n_points": int(len(out["labels"]))}))
+        else:
+            from .analysis.predict import save_predictions
+
+            written = save_predictions(
+                apply_fn, params, bn, source, task=args.task, num_classes=nc,
+                out_dir=args.out_dir, max_images=args.max_images,
+                save_gt=args.save_gt, height=args.height, width=args.width,
+            )
+            print(json.dumps({"written": len(written), "out_dir": args.out_dir}))
+        return
+
     if args.cmd == "convert":
         from .ckpt import convert_state_dict, load_pth_tar, orbax_io
         from .train import steps
@@ -150,6 +224,8 @@ def main(argv=None):
         cfg = C.step3(order=args.order, two_phase=not args.single_phase, **kw)
     elif args.cmd == "multitask":
         cfg = C.multitask(**kw)
+    elif args.cmd == "single":
+        cfg = C.singletask(dataset=args.dataset, **kw)
     elif args.cmd == "ft":
         cfg = C.ft_step(n_heads=args.heads, finetune=not args.feature_extraction, **kw)
     else:

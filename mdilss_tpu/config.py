@@ -55,6 +55,11 @@ class TrainConfig:
     spatial_shards: int = 1
     log_images: bool = False
 
+    # observability (SURVEY.md §5: the reference had only wall-clock prints;
+    # the rebuild wires real profiler traces)
+    profile_dir: str | None = None  # write a jax.profiler trace here
+    profile_steps: int = 8  # batches to trace (first epoch, after warmup)
+
     def shared_lr_value(self) -> float:
         if self.shared_lr is not None:
             return self.shared_lr
@@ -119,4 +124,17 @@ def ft_step(n_heads: int = 2, finetune: bool = True, **kw) -> TrainConfig:
     return TrainConfig(
         protocol="ft" if finetune else "fe", model=model,
         datasets=datasets, num_classes=ncls, current_task=n_heads - 1, **kw,
+    )
+
+
+def singletask(dataset: str = "cityscapes", **kw) -> TrainConfig:
+    """Independent single-task ERFNet baseline (the notebooks' `ERFNet_ind`;
+    trained upstream by the absent `main.py`, trainer_single_task.sh:46-52).
+    Everything trainable at the base LR."""
+    from .data.sources import DATASET_NUM_CLASSES
+
+    return TrainConfig(
+        protocol="singletask", model="erfnet_multi_task",
+        datasets=(dataset,), num_classes=(DATASET_NUM_CLASSES[dataset],),
+        current_task=0, **kw,
     )

@@ -1,4 +1,5 @@
 from .class_weights import CLASS_WEIGHTS, compute_class_weights
+from .colorize import colorize, colormap, colormap_cityscapes
 from .loader import Loader, SyntheticSource
 from .sources import (
     DATASET_NUM_CLASSES,
@@ -12,6 +13,9 @@ from .transforms import augment_batch, decode_pair, prepare_batch
 __all__ = [
     "CLASS_WEIGHTS",
     "compute_class_weights",
+    "colorize",
+    "colormap",
+    "colormap_cityscapes",
     "Loader",
     "SyntheticSource",
     "DATASET_NUM_CLASSES",

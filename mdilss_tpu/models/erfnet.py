@@ -19,14 +19,21 @@ def init(rng, num_classes: int = 20, dtype=jnp.float32):
     return {"encoder": enc_p, "decoder": dec_p}, {"encoder": enc_s, "decoder": dec_s}
 
 
-def apply(params, state, x, *, training: bool = False, rng=None, remat: bool = False, fused_infer: bool = False, drop_masks=None):
-    """x: [N, H, W, 3] -> logits [N, H, W, num_classes]."""
+def apply(params, state, x, *, training: bool = False, rng=None, remat: bool = False, fused_infer: bool = False, drop_masks=None, return_features: bool = False):
+    """x: [N, H, W, 3] -> logits [N, H, W, num_classes].
+
+    `return_features=True` additionally returns {"encoder", "penultimate"}
+    latent features (the notebooks' `erfnet_latent_space` variant)."""
     feats, enc_s = T.encoder_apply(
         params["encoder"], state["encoder"], x, rap=False, task=None,
         training=training, rng=rng, remat=remat, fused_infer=fused_infer,
         drop_masks=drop_masks,
     )
-    logits, dec_s = T.decoder_apply(
-        params["decoder"], state["decoder"], feats, training=training, remat=remat, fused_infer=fused_infer
+    dec_out = T.decoder_apply(
+        params["decoder"], state["decoder"], feats, training=training,
+        remat=remat, fused_infer=fused_infer, return_penultimate=return_features,
     )
-    return logits, {"encoder": enc_s, "decoder": dec_s}
+    new_state = {"encoder": enc_s, "decoder": dec_out[1]}
+    if return_features:
+        return dec_out[0], new_state, {"encoder": feats, "penultimate": dec_out[2]}
+    return dec_out[0], new_state

@@ -35,25 +35,35 @@ def init(rng, num_classes: Sequence[int] = (20,), nb_tasks: int = 1, dtype=jnp.f
     )
 
 
-def apply(params, state, x, task: int, *, training: bool = False, rng=None, remat: bool = False, fused_infer: bool = False, drop_masks=None):
+def apply(params, state, x, task: int, *, training: bool = False, rng=None, remat: bool = False, fused_infer: bool = False, drop_masks=None, return_features: bool = False):
     """x: [N, H, W, 3] -> logits [N, H, W, num_classes[task]].
 
     `task` must be a static Python int (selects adapters/BN slices and the
     decoder head at trace time). `remat=True` rematerializes the encoder's
     scan groups in the backward pass (activation memory for FLOPs).
+
+    `return_features=True` additionally returns latent features
+    {"encoder": [N,H/8,W/8,128], "penultimate": [N,H/2,W/2,16]} — the
+    notebooks' `erfnet_RA_parallel_latent_space` variant's
+    (output, output_penultimate, output_enc) (Plot_Tsne_Notebook cells 13,24).
     """
     feats, enc_s = T.encoder_apply(
         params["encoder"], state["encoder"], x, rap=True, task=task,
         training=training, rng=rng, remat=remat, fused_infer=fused_infer,
         drop_masks=drop_masks,
     )
-    logits, dec_s = T.decoder_apply(
+    dec_out = T.decoder_apply(
         params["decoders"][task], state["decoders"][task], feats,
         training=training, remat=remat, fused_infer=fused_infer,
+        return_penultimate=return_features,
     )
+    logits, dec_s = dec_out[0], dec_out[1]
     new_dec = list(state["decoders"])
     new_dec[task] = dec_s
-    return logits, {"encoder": enc_s, "decoders": new_dec}
+    new_state = {"encoder": enc_s, "decoders": new_dec}
+    if return_features:
+        return logits, new_state, {"encoder": feats, "penultimate": dec_out[2]}
+    return logits, new_state
 
 
 def nb_tasks_of(params) -> int:

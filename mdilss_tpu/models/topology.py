@@ -243,7 +243,10 @@ def decoder_init(rng, num_classes: int, dtype):
 
 
 def decoder_apply(params, state, x, *, training: bool, remat: bool = False,
-                  fused_infer: bool = False):
+                  fused_infer: bool = False, return_penultimate: bool = False):
+    """`return_penultimate=True` additionally returns the 16-channel features
+    entering `output_conv` (the notebooks' `*_latent_space` model variants'
+    `output_penultimate`, Plot_Tsne_Notebook cell 24)."""
     out, up1_s = B.upsampler_apply(params["up1"], state["up1"], x, training=training)
     fused = fused_infer and not training
 
@@ -262,11 +265,15 @@ def decoder_apply(params, state, x, *, training: bool, remat: bool = False,
     out, up2_s = B.upsampler_apply(params["up2"], state["up2"], out, training=training)
     out, g16_s = _scan_blocks(body, out, params["group16"], state["group16"], dummy,
                               training=training, unroll=fused)
+    penultimate = out
     out = conv_transpose2d(
         out, params["output_conv"]["w"], params["output_conv"]["b"],
         stride=2, padding=0, output_padding=0,
     )
-    return out, {"up1": up1_s, "group64": g64_s, "up2": up2_s, "group16": g16_s}
+    new_state = {"up1": up1_s, "group64": g64_s, "up2": up2_s, "group16": g16_s}
+    if return_penultimate:
+        return out, new_state, penultimate
+    return out, new_state
 
 
 # ---------------------------------------------------------------------------

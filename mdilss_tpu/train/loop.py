@@ -75,6 +75,9 @@ class Trainer:
         import numpy as _np
 
         self._np_rng = _np.random.default_rng(cfg.seed + 1)
+        from ..utils.profiling import StepTracer
+
+        self._tracer = StepTracer(cfg.profile_dir, n=cfg.profile_steps)
         self.best_acc = -np.inf
         self.start_epoch = 1
         if cfg.resume:
@@ -137,7 +140,7 @@ class Trainer:
                 self.ts.params, current_task=cur,
                 shared_lr=cfg.shared_lr_value(), ds_lr=cfg.lr,
             )
-        elif cfg.protocol == "multitask":
+        elif cfg.protocol in ("multitask", "singletask"):
             lr_tree = masks.multihead_lr_tree(
                 self.ts.params, encoder_lr=cfg.shared_lr_value(), decoder_lr=cfg.lr
             )
@@ -152,7 +155,7 @@ class Trainer:
 
         common = dict(lr_tree=lr_tree, num_epochs=cfg.num_epochs, weight_decay=cfg.weight_decay)
         self.train_steps: dict[str, Any] = {}
-        if cfg.protocol in ("step1", "ft", "fe"):
+        if cfg.protocol in ("step1", "ft", "fe", "singletask"):
             self.train_steps[cur_ds] = jit_train_step(
                 steps.make_ce_step(apply_fn, task=cur, class_weight=self._weight(cur_ds), **common),
                 self.mesh,
@@ -240,6 +243,7 @@ class Trainer:
     def _one_batch(self, dataset: str, task: int, imgs, lbls, epoch: int, losses):
         from ..models.topology import make_dropout_masks
 
+        self._tracer.tick()
         nc = self.cfg.num_classes[task]
         x, y = augment_batch(jnp.asarray(imgs), jnp.asarray(lbls), self._next_rng(), num_classes=nc)
         x, y = shard_batch(self.mesh, x, y)
@@ -322,4 +326,5 @@ class Trainer:
                 orbax_io.save(os.path.join(cfg.savedir, "best"), epoch, self.ts,
                               best_acc=self.best_acc, rng=self.rng)
             history = row
+        self._tracer.stop()
         return history

@@ -53,7 +53,7 @@ def build_trainer(cfg: TrainConfig) -> Trainer:
         return _build_incremental(cfg)
     if cfg.protocol in ("ft", "fe"):
         return _build_ft(cfg)
-    if cfg.protocol == "multitask":
+    if cfg.protocol in ("multitask", "singletask"):
         return Trainer(cfg)
     raise ValueError(cfg.protocol)
 

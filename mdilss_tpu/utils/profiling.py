@@ -1,0 +1,40 @@
+"""Profiler tracing: jax.profiler device traces around training steps.
+
+The reference's only observability was wall-clock accumulation printed every
+50 batches ("Avg time/img", train_RAPFT_step1.py:295-317). Here a window of
+train steps is captured as a real profiler trace (XLA ops, fusion boundaries,
+HBM traffic) viewable in TensorBoard's profile plugin / Perfetto.
+"""
+from __future__ import annotations
+
+import jax
+
+
+class StepTracer:
+    """Traces steps [start, start+n) of the first profiled epoch."""
+
+    def __init__(self, logdir: str | None, *, start: int = 2, n: int = 8):
+        self.logdir = logdir
+        self.start = start
+        self.n = n
+        self._step = 0
+        self._active = False
+        self._done = logdir is None
+
+    def tick(self) -> None:
+        """Call once per train step (before launching it)."""
+        if self._done:
+            return
+        if self._step == self.start:
+            jax.profiler.start_trace(self.logdir)
+            self._active = True
+        elif self._step == self.start + self.n:
+            self.stop()
+        self._step += 1
+
+    def stop(self) -> None:
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+            print(f"profiler trace written to {self.logdir}")
+        self._done = True

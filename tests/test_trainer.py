@@ -106,3 +106,32 @@ def test_ft_freezes_encoder_in_fe_mode(tmp_path):
     assert not np.allclose(
         np.asarray(tr.ts.params["decoders"][1]["output_conv"]["w"]), head0_before
     )
+
+
+def test_singletask_trainer(tmp_path):
+    """Independent single-task ERFNet baseline: whole model trains at base LR."""
+    cfg = C.singletask("cityscapes", num_epochs=1, savedir=str(tmp_path / "run"), **TINY)
+    tr = build_trainer(cfg)
+    p_before = jax.tree.map(np.asarray, tr.ts.params)
+    final = tr.fit()
+    assert np.isfinite(final["train_loss"])
+    # both encoder and decoder moved (no frozen groups)
+    enc_moved = any(
+        not np.allclose(a, np.asarray(b))
+        for a, b in zip(jax.tree.leaves(p_before["encoder"]), jax.tree.leaves(tr.ts.params["encoder"]))
+    )
+    dec_moved = any(
+        not np.allclose(a, np.asarray(b))
+        for a, b in zip(jax.tree.leaves(p_before["decoders"]), jax.tree.leaves(tr.ts.params["decoders"]))
+    )
+    assert enc_moved and dec_moved
+
+
+def test_profiler_trace_written(tmp_path):
+    cfg = C.step1(num_epochs=1, savedir=str(tmp_path / "run"),
+                  profile_dir=str(tmp_path / "trace"), profile_steps=1, **TINY)
+    tr = build_trainer(cfg)
+    tr._tracer.start = 0  # tiny run: trace from the first batch
+    tr.fit()
+    found = [f for _, _, fs in os.walk(tmp_path / "trace") for f in fs]
+    assert any(f.endswith((".trace.json.gz", ".xplane.pb")) for f in found), found
