@@ -51,8 +51,8 @@ def main() -> None:
     dtype = jnp.bfloat16 if os.environ.get("MDILSS_BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
 
     def apply_fn(p, s, x, task, **kw):
-        logits, new_s = erfnet_rap.apply(p, s, x.astype(dtype), task, remat=True, **kw)
-        return logits.astype(jnp.float32), new_s
+        # logits stay in compute dtype; losses upcast inside their fusions
+        return erfnet_rap.apply(p, s, x.astype(dtype), task, remat=True, **kw)
 
     step = jax.jit(
         steps.make_distill_step(
@@ -81,11 +81,17 @@ def main() -> None:
     key = jax.random.key(7)
     mask_rng = np.random.default_rng(3)
 
-    def run_one(i, ts):
+    from mdilss_tpu.data.loader import device_prefetch
+
+    def batches(n):
+        for i in range(n):
+            yield host_batches[i % len(host_batches)]
+
+    def run_one(batch_pair, ts):
         nonlocal key
         key, k_aug, k_drop = jax.random.split(key, 3)
-        imgs, lbls = host_batches[i % len(host_batches)]
-        x, y = augment_batch(jnp.asarray(imgs), jnp.asarray(lbls), k_aug, num_classes=C)
+        imgs, lbls = batch_pair
+        x, y = augment_batch(imgs, lbls, k_aug, num_classes=C)
         masks = [make_dropout_masks(mask_rng, batch) for _ in range(2)]
         ts, m = step(ts, teacher, x, y, masks, k_drop, 1)
         return ts, m
@@ -93,16 +99,32 @@ def main() -> None:
     # warmup (compile). NOTE: on remote-tunnel backends block_until_ready can
     # return before execution completes; fetching a scalar output is the only
     # reliable synchronization, so every timing below syncs via float(...).
-    for i in range(2):
-        ts, m = run_one(i, ts)
+    for bp in device_prefetch(batches(2)):
+        ts, m = run_one(bp, ts)
     float(m["loss"])
 
+    # device_prefetch keeps the next batches' H2D transfers in flight under
+    # the current step's compute — the deliverable input pipeline, not a
+    # device-resident shortcut
     t0 = time.perf_counter()
-    for i in range(n_steps):
-        ts, m = run_one(i, ts)
+    for bp in device_prefetch(batches(n_steps), depth=3):
+        ts, m = run_one(bp, ts)
     float(m["loss"])  # true sync: depends on the whole step chain
     dt = time.perf_counter() - t0
     train_ips = batch * n_steps / dt
+
+    # secondary: device-resident train throughput (what the chip sustains
+    # when inputs stream over a local PCIe/ICI link instead of this remote
+    # tunnel, whose ~100 MB/s H2D serializes with compute and bounds the
+    # pipelined number above)
+    imgs0 = jnp.asarray(host_batches[0][0])
+    lbls0 = jnp.asarray(host_batches[0][1])
+    float(jnp.sum(imgs0[0, 0, 0, :].astype(jnp.float32)))
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        ts, m = run_one((imgs0, lbls0), ts)
+    float(m["loss"])
+    compute_ips = batch * n_steps / (time.perf_counter() - t0)
 
     # secondary: pure inference throughput (argmax masks), eval mode.
     # K forwards chained inside ONE jit: per-call dispatch through the device
@@ -132,6 +154,7 @@ def main() -> None:
         "unit": "img/s/chip (512x1024, bs=6, CE+KLD distillation, incl. H2D+augment)",
         "vs_baseline": round(train_ips / BASELINE_IMG_PER_SEC_PER_GPU, 2),
         "extras": {
+            "device_resident_train_images_per_sec": round(compute_ips, 2),
             "infer_images_per_sec_per_chip": round(infer_ips, 2),
             "step_ms": round(1000 * dt / n_steps, 1),
             "baseline_img_per_sec_per_gpu": round(BASELINE_IMG_PER_SEC_PER_GPU, 2),

@@ -48,6 +48,44 @@ class SyntheticSource:
         return img, lbl
 
 
+def device_prefetch(iterator, *, depth: int = 2, put=None):
+    """Overlap host->device transfer with device compute.
+
+    Wraps a batch iterator, issuing `put` (default jax.device_put of every
+    array element) for up to `depth` batches ahead before yielding the
+    current one. JAX transfers are asynchronous, so the copy of batch i+1
+    rides alongside the compute of batch i instead of serializing in front
+    of it — on a remote-tunnel backend the transfer is the pipeline
+    bottleneck (~12.6 MB/batch at 512x1024/bs6), so this matters far more
+    than on a local PCIe link.
+    """
+    import collections
+
+    import jax
+    import numpy as np
+
+    if put is None:
+        def put(item):
+            return tuple(
+                jax.device_put(x) if isinstance(x, np.ndarray) else x for x in item
+            )
+
+    q = collections.deque()
+    it = iter(iterator)
+    try:
+        for _ in range(depth):
+            q.append(put(next(it)))
+    except StopIteration:
+        pass
+    while q:
+        out = q.popleft()
+        try:
+            q.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out
+
+
 class Loader:
     """Iterable over uint8 (images [N,H,W,3], labels [N,H,W]) numpy batches.
 

@@ -106,11 +106,48 @@ def downsampler_init(rng, nin: int, nout: int, nb_tasks: int | None, dtype=jnp.f
 
 
 def downsampler_apply(p: Params, s: State, x, *, task: int | None, training: bool):
-    conv = conv2d(x, p["conv"]["w"], p["conv"]["b"], stride=2, padding=1)
-    pool = maxpool2d(x, 2, 2)
-    out = jnp.concatenate([conv, pool], axis=-1)  # conv channels first, as in torch.cat
+    if training and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        # Space-to-depth form: the stride-2 conv becomes 4 shifted matmuls on
+        # the [N,H/2,W/2,4C] tensor and the maxpool a max over the 4 fold
+        # groups. Same math; measured faster fwd+bwd than conv_general_dilated
+        # + reduce_window (whose backward lowers to select-and-scatter).
+        out = _downsampler_s2d(p, x)
+    else:
+        conv = conv2d(x, p["conv"]["w"], p["conv"]["b"], stride=2, padding=1)
+        pool = maxpool2d(x, 2, 2)
+        out = jnp.concatenate([conv, pool], axis=-1)  # conv first, as in torch.cat
     out, bn_s = _bn_apply(p["bn"], s["bn"], out, task=task, training=training)
     return jax.nn.relu(out), {"bn": bn_s}
+
+
+def _downsampler_s2d(p: Params, x):
+    import numpy as np
+
+    n, h, w, c = x.shape
+    w3 = p["conv"]["w"]  # [3, 3, cin, cout-cin]
+    cout = w3.shape[3]
+    h2, w2 = h // 2, w // 2
+    xs = x.reshape(n, h2, 2, w2, 2, c).transpose(0, 1, 3, 2, 4, 5).reshape(n, h2, w2, 4 * c)
+    # out[i,j] spans input rows 2i-1..2i+1 / cols 2j-1..2j+1 = fold cells
+    # (i+a, j+b), a,b in {-1,0}; fold slot (p,q) of cell (i+a, j+b) is input
+    # row 2i + 2a + p -> kernel tap kh = 2a + p + 1 (kept when 0 <= kh <= 2)
+    xp = jnp.pad(xs, ((0, 0), (1, 0), (1, 0), (0, 0)))
+    out = None
+    for a in (-1, 0):
+        for b in (-1, 0):
+            sel = np.zeros((2, 2, 3, 3), np.float32)
+            for pp in (0, 1):
+                for q in (0, 1):
+                    kh, kw = 2 * a + pp + 1, 2 * b + q + 1
+                    if 0 <= kh <= 2 and 0 <= kw <= 2:
+                        sel[pp, q, kh, kw] = 1.0
+            m = jnp.einsum("pqhw,hwio->pqio", jnp.asarray(sel), w3).reshape(4 * c, cout)
+            tap = xp[:, 1 + a : 1 + a + h2, 1 + b : 1 + b + w2]
+            t = jax.lax.dot_general(tap, m.astype(x.dtype), (((3,), (0,)), ((), ())))
+            out = t if out is None else out + t
+    out = out + p["conv"]["b"].astype(out.dtype)
+    pool = jnp.max(xs.reshape(n, h2, w2, 4, c), axis=3)
+    return jnp.concatenate([out, pool], axis=-1)
 
 
 # ---------------------------------------------------------------------------

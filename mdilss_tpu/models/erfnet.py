@@ -19,7 +19,7 @@ def init(rng, num_classes: int = 20, dtype=jnp.float32):
     return {"encoder": enc_p, "decoder": dec_p}, {"encoder": enc_s, "decoder": dec_s}
 
 
-def apply(params, state, x, *, training: bool = False, rng=None, remat: bool = False, fused_infer: bool = False, drop_masks=None, return_features: bool = False):
+def apply(params, state, x, *, training: bool = False, rng=None, remat: bool = False, fused_infer: bool = False, drop_masks=None, return_features: bool = False, packed_head: bool = False):
     """x: [N, H, W, 3] -> logits [N, H, W, num_classes].
 
     `return_features=True` additionally returns {"encoder", "penultimate"}
@@ -32,6 +32,7 @@ def apply(params, state, x, *, training: bool = False, rng=None, remat: bool = F
     dec_out = T.decoder_apply(
         params["decoder"], state["decoder"], feats, training=training,
         remat=remat, fused_infer=fused_infer, return_penultimate=return_features,
+        packed_head=packed_head,
     )
     new_state = {"encoder": enc_s, "decoder": dec_out[1]}
     if return_features:

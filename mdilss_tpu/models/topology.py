@@ -243,10 +243,16 @@ def decoder_init(rng, num_classes: int, dtype):
 
 
 def decoder_apply(params, state, x, *, training: bool, remat: bool = False,
-                  fused_infer: bool = False, return_penultimate: bool = False):
+                  fused_infer: bool = False, return_penultimate: bool = False,
+                  packed_head: bool = False):
     """`return_penultimate=True` additionally returns the 16-channel features
     entering `output_conv` (the notebooks' `*_latent_space` model variants'
-    `output_penultimate`, Plot_Tsne_Notebook cell 24)."""
+    `output_penultimate`, Plot_Tsne_Notebook cell 24).
+
+    `packed_head=True` returns logits in sub-pixel-packed layout
+    [N, H/2, W/2, 4, C] (ops.conv_transpose2d_packed) — the training fast
+    path; losses/argmax consume it directly, `ops.unpack_subpixel` restores
+    spatial layout."""
     out, up1_s = B.upsampler_apply(params["up1"], state["up1"], x, training=training)
     fused = fused_infer and not training
 
@@ -266,10 +272,17 @@ def decoder_apply(params, state, x, *, training: bool, remat: bool = False,
     out, g16_s = _scan_blocks(body, out, params["group16"], state["group16"], dummy,
                               training=training, unroll=fused)
     penultimate = out
-    out = conv_transpose2d(
-        out, params["output_conv"]["w"], params["output_conv"]["b"],
-        stride=2, padding=0, output_padding=0,
-    )
+    if packed_head:
+        from ..ops import conv_transpose2d_packed
+
+        out = conv_transpose2d_packed(
+            out, params["output_conv"]["w"], params["output_conv"]["b"]
+        )
+    else:
+        out = conv_transpose2d(
+            out, params["output_conv"]["w"], params["output_conv"]["b"],
+            stride=2, padding=0, output_padding=0,
+        )
     new_state = {"up1": up1_s, "group64": g64_s, "up2": up2_s, "group16": g16_s}
     if return_penultimate:
         return out, new_state, penultimate

@@ -128,8 +128,10 @@ class Trainer:
             base_apply = self.model.apply
 
             def apply_fn(p, s, x, task, **kw):
-                logits, new_s = base_apply(p, s, x.astype(dtype), task, remat=cfg.remat, **kw)
-                return logits.astype(jnp.float32), new_s
+                # logits stay in the compute dtype; losses upcast inside
+                # their own fusions (a standalone f32 cast materializes a
+                # full-resolution tensor)
+                return base_apply(p, s, x.astype(dtype), task, remat=cfg.remat, **kw)
 
         kld_fn = kld_faithful if cfg.kld == "faithful" else kld_corrected
         cur = cfg.current_task
@@ -220,10 +222,12 @@ class Trainer:
         cfg = self.cfg
         t0 = time.time()
         losses = {k: [] for k in ("loss", "ce", "kld")}
+        from ..data.loader import device_prefetch
+
         if cfg.protocol == "multitask":
             for ld in self.train_loaders.values():
                 ld.set_epoch(epoch)
-            iters = {d: iter(ld) for d, ld in self.train_loaders.items()}
+            iters = {d: device_prefetch(ld) for d, ld in self.train_loaders.items()}
             n_iters = min(len(ld) for ld in self.train_loaders.values())
             for _ in range(n_iters):
                 for t, d in enumerate(cfg.datasets):
@@ -234,7 +238,7 @@ class Trainer:
             d = cfg.datasets[cur]
             ld = self.train_loaders[d]
             ld.set_epoch(epoch)
-            for imgs, lbls, _ in ld:
+            for imgs, lbls, _ in device_prefetch(ld):
                 self._one_batch(d, cur, imgs, lbls, epoch, losses)
         out = {f"train_{k}": float(np.mean(v)) for k, v in losses.items() if v}
         out["epoch_seconds"] = time.time() - t0
@@ -266,8 +270,10 @@ class Trainer:
         nc = cfg.num_classes[t]
         ev = IoUEvaluator(nc, nc - 1)
         losses = []
+        from ..data.loader import device_prefetch
+
         estep = self.eval_steps[dataset]
-        for imgs, lbls, valid in self.val_loaders[dataset]:
+        for imgs, lbls, valid in device_prefetch(self.val_loaders[dataset]):
             x, y = prepare_batch(jnp.asarray(imgs), jnp.asarray(lbls), num_classes=nc)
             # padded samples -> all-ignore labels: contribute to neither CE nor IoU
             y = jnp.where(jnp.asarray(valid)[:, None, None], y, nc - 1)

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from ..losses import kld_faithful, weighted_cross_entropy
 from ..metrics import confusion_matrix
+from ..ops import pack_subpixel_targets, unpack_subpixel
 from .optim import AdamState, apply_updates, poly_lr_factor
 from . import optim
 
@@ -87,11 +88,14 @@ def make_ce_step(
     class_weight = _host_const(class_weight)
 
     def step(ts: TrainState, images, labels, masks, rng, epoch):
+        labels_p = pack_subpixel_targets(labels)
+
         def loss_fn(p):
             logits, new_bn = apply_fn(
-                p, ts.bn, images, task, training=True, rng=rng, drop_masks=masks
+                p, ts.bn, images, task, training=True, rng=rng, drop_masks=masks,
+                packed_head=True,
             )
-            return weighted_cross_entropy(logits, labels, class_weight), new_bn
+            return weighted_cross_entropy(logits, labels_p, class_weight), new_bn
 
         (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params)
         new_p, new_opt = apply_updates(
@@ -131,22 +135,25 @@ def make_distill_step(
     def step(ts: TrainState, teacher: ModelState, images, labels, masks, rng, epoch):
         rngs = _split(rng, 1 + len(prev_tasks))
         mask_list = masks if isinstance(masks, (list, tuple)) else [masks] * (1 + len(prev_tasks))
+        labels_p = pack_subpixel_targets(labels)
 
         def loss_fn(p):
             bn = ts.bn
             logits, bn = apply_fn(
-                p, bn, images, current_task, training=True, rng=rngs[0], drop_masks=mask_list[0]
+                p, bn, images, current_task, training=True, rng=rngs[0], drop_masks=mask_list[0],
+                packed_head=True,
             )
-            ce = weighted_cross_entropy(logits, labels, class_weight)
+            ce = weighted_cross_entropy(logits, labels_p, class_weight)
             kld = jnp.float32(0.0)
             for i, t in enumerate(prev_tasks):
                 prev_fwd = lambda p_, bn_, x_, r_, mk_, t=t: apply_fn(
-                    p_, bn_, x_, t, training=True, rng=r_, drop_masks=mk_
+                    p_, bn_, x_, t, training=True, rng=r_, drop_masks=mk_, packed_head=True
                 )
                 if remat_prev:
                     prev_fwd = jax.checkpoint(prev_fwd)
                 s_logits, bn = prev_fwd(p, bn, images, rngs[1 + i], mask_list[1 + i])
-                t_logits, _ = apply_fn(teacher.params, teacher.bn, images, t, training=False)
+                t_logits, _ = apply_fn(teacher.params, teacher.bn, images, t, training=False,
+                                       packed_head=True)
                 kld = kld + kld_fn(s_logits, jax.lax.stop_gradient(t_logits))
             return ce + lambda_c * kld, (bn, ce, kld)
 
@@ -185,11 +192,14 @@ def make_two_phase_distill_step(
         mask_list = masks if isinstance(masks, (list, tuple)) else [masks] * (1 + len(prev_tasks))
         lr_scale = poly_lr_factor(epoch, num_epochs)
 
+        labels_p = pack_subpixel_targets(labels)
+
         def ce_loss(p):
             logits, bn = apply_fn(
-                p, ts.bn, images, current_task, training=True, rng=rngs[0], drop_masks=mask_list[0]
+                p, ts.bn, images, current_task, training=True, rng=rngs[0], drop_masks=mask_list[0],
+                packed_head=True,
             )
-            return weighted_cross_entropy(logits, labels, class_weight), bn
+            return weighted_cross_entropy(logits, labels_p, class_weight), bn
 
         (ce, bn1), g1 = jax.value_and_grad(ce_loss, has_aux=True)(ts.params)
         p1, opt1 = apply_updates(
@@ -202,11 +212,12 @@ def make_two_phase_distill_step(
             for i, t in enumerate(prev_tasks):
                 prev_fwd = jax.checkpoint(
                     lambda p_, bn_, x_, r_, mk_, t=t: apply_fn(
-                        p_, bn_, x_, t, training=True, rng=r_, drop_masks=mk_
+                        p_, bn_, x_, t, training=True, rng=r_, drop_masks=mk_, packed_head=True
                     )
                 )
                 s_logits, bn = prev_fwd(p, bn, images, rngs[1 + i], mask_list[1 + i])
-                t_logits, _ = apply_fn(teacher.params, teacher.bn, images, t, training=False)
+                t_logits, _ = apply_fn(teacher.params, teacher.bn, images, t, training=False,
+                                       packed_head=True)
                 kld = kld + kld_fn(s_logits, jax.lax.stop_gradient(t_logits))
             return lambda_c * kld, (bn, kld)
 
@@ -228,9 +239,9 @@ def make_eval_step(apply_fn: ApplyFn, *, task: int, class_weight: jax.Array, num
     class_weight = _host_const(class_weight)
 
     def step(params, bn, images, labels):
-        logits, _ = apply_fn(params, bn, images, task, training=False)
-        loss = weighted_cross_entropy(logits, labels, class_weight)
-        preds = jnp.argmax(logits, axis=-1)
+        logits, _ = apply_fn(params, bn, images, task, training=False, packed_head=True)
+        loss = weighted_cross_entropy(logits, pack_subpixel_targets(labels), class_weight)
+        preds = unpack_subpixel(jnp.argmax(logits, axis=-1).astype(jnp.int32))
         return loss, confusion_matrix(preds, labels, num_classes=num_classes)
 
     return step
