@@ -52,6 +52,7 @@ class TrainConfig:
     seed: int = 0
     remat: bool = False
     compute_dtype: str = "float32"  # | bfloat16
+    fused_train: bool = False  # experimental: Pallas fused training blocks
     spatial_shards: int = 1
     log_images: bool = False
 

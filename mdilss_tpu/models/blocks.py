@@ -224,6 +224,91 @@ def nb1d_rap_apply(
 
 
 # ---------------------------------------------------------------------------
+# Fused training block (Pallas): whole nb1d / nb1d_RAP in 4 fused conv-pair
+# kernels + XLA batch-stat glue (ops/pallas/nb1d_train.py)
+# ---------------------------------------------------------------------------
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _fused_train_block(d: int, use_rap: bool, interpret: bool):
+    from ..ops.pallas.nb1d_train import make_nb1d_train
+
+    return make_nb1d_train(d=d, use_rap=use_rap, eps=BN_EPS, interpret=interpret)
+
+
+def nb1d_fused_train_apply(
+    p: Params, s: State, x, *, task: int | None, dilated: int, dropprob: float,
+    drop_mask=None, interpret: bool = False,
+):
+    """Training-mode nb1d / nb1d_RAP via the fused Pallas kernels.
+
+    Numerically equivalent to nb1d_apply / nb1d_rap_apply with training=True
+    (goldens: tests/test_pallas_train.py); BN running stats update with
+    torch-parity semantics (the pre-BN per-channel biases, absorbed exactly
+    by the batch mean inside the kernels, are added back to the recorded
+    running mean).
+    """
+    rap = "rap1" in p
+    n, h, w, c = x.shape
+    m_count = n * h * w
+    if drop_mask is not None and dropprob > 0.0:
+        mask_scaled = drop_mask.astype(jnp.float32) / (1.0 - dropprob)
+    else:
+        mask_scaled = jnp.ones((n, 1, 1, c), jnp.float32)
+    mask_scaled = jax.lax.stop_gradient(mask_scaled)
+
+    if rap:
+        bn1p, bn2p = p["bns1"], p["bns2"]
+        g1, be1 = bn1p["scale"][task], bn1p["bias"][task]
+        g2, be2 = bn2p["scale"][task], bn2p["bias"][task]
+        rap1w = p["rap1"]["w"][task][0, 0]
+        rap2w = p["rap2"]["w"][task][0, 0]
+        bias1 = p["conv1x3_1"]["b"] + p["rap1"]["b"][task]
+        bias2 = p["conv1x3_2"]["b"] + p["rap2"]["b"][task]
+        st1, st2 = s["bns1"], s["bns2"]
+        old1 = BNState(mean=st1.mean[task], var=st1.var[task])
+        old2 = BNState(mean=st2.mean[task], var=st2.var[task])
+    else:
+        g1, be1 = p["bn1"]["scale"], p["bn1"]["bias"]
+        g2, be2 = p["bn2"]["scale"], p["bn2"]["bias"]
+        zc = jnp.zeros((c, c), jnp.float32)
+        rap1w = rap2w = zc
+        bias1 = p["conv1x3_1"]["b"]
+        bias2 = p["conv1x3_2"]["b"]
+        old1, old2 = s["bn1"], s["bn2"]
+
+    block = _fused_train_block(dilated, rap, interpret)
+    out, mu1, var1, mu2, var2 = block(
+        x, p["conv3x1_1"]["w"], p["conv3x1_1"]["b"], p["conv1x3_1"]["w"], rap1w,
+        g1, be1,
+        p["conv3x1_2"]["w"], p["conv3x1_2"]["b"], p["conv1x3_2"]["w"], rap2w,
+        g2, be2, mask_scaled,
+    )
+
+    unbias = m_count / max(m_count - 1, 1)
+    mom = 0.1
+
+    def upd(old: BNState, mu, var, bias) -> BNState:
+        return BNState(
+            mean=(1 - mom) * old.mean + mom * (mu + bias.astype(jnp.float32)),
+            var=(1 - mom) * old.var + mom * var * unbias,
+        )
+
+    new1 = upd(old1, mu1, var1, bias1)
+    new2 = upd(old2, mu2, var2, bias2)
+    if rap:
+        new_s = {
+            "bns1": BNState(mean=st1.mean.at[task].set(new1.mean), var=st1.var.at[task].set(new1.var)),
+            "bns2": BNState(mean=st2.mean.at[task].set(new2.mean), var=st2.var.at[task].set(new2.var)),
+        }
+    else:
+        new_s = {"bn1": new1, "bn2": new2}
+    return out, new_s
+
+
+# ---------------------------------------------------------------------------
 # UpsamplerBlock
 # ---------------------------------------------------------------------------
 

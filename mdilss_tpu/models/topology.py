@@ -156,13 +156,17 @@ def _group_masks(rng, shape, keep: float):
 def encoder_apply(
     params, state, x, *, rap: bool, task: int | None, training: bool, rng=None,
     remat: bool = False, fused_infer: bool = False, drop_masks: dict | None = None,
+    fused_train: bool = False,
 ) -> tuple[Any, Any]:
     """Run the encoder. `task` must be a static int for RAP encoders.
 
     `fused_infer=True` (eval mode only) runs each nb1d block as ONE Pallas
     kernel (folded BN, whole block in VMEM) instead of ~10 XLA ops.
+    `fused_train=True` (training mode) runs each nb1d block through the fused
+    Pallas conv-pair kernels with a custom VJP (ops/pallas/nb1d_train.py).
     """
     fused = fused_infer and not training
+    ftrain = fused_train and training
     r = list(jax.random.split(rng, 2)) if rng is not None else [None, None]
     out, init_s = B.downsampler_apply(params["initial"], state["initial"], x, task=task, training=training)
     out, down1_s = B.downsampler_apply(params["down1"], state["down1"], out, task=task, training=training)
@@ -174,6 +178,13 @@ def encoder_apply(
             bn_keys = ("bns1", "bns2") if rap else ("bn1", "bn2")
             y = nb1d_fused_infer(xin, p, s[bn_keys[0]], s[bn_keys[1]], dilated=dil, task=task)
             return y, s
+        # fused-train coverage: d=16 trips a Mosaic lowering blowup and
+        # C<64 a lane-padding failure on the current libtpu; those blocks
+        # (2 of 17 + the two 16-channel decoder blocks) use the XLA path
+        if ftrain and dil < 16 and xin.shape[-1] >= 64:
+            return B.nb1d_fused_train_apply(
+                p, s, xin, task=task, dilated=dil, dropprob=drop, drop_mask=mask,
+            )
         if rap:
             return B.nb1d_rap_apply(
                 p, s, xin, task=task, dilated=dil, dropprob=drop, training=training,
@@ -198,7 +209,7 @@ def encoder_apply(
     # pallas_call inside a scanned body trips a lowering-cache bug; the fused
     # path unrolls (inference does not retrace per epoch, compile cost is one-off)
     out, g64_s = _scan_blocks(body64, out, params["group64"], state["group64"], masks64,
-                              training=training, unroll=fused)
+                              training=training, unroll=fused or ftrain)
 
     out, down2_s = B.downsampler_apply(params["down2"], state["down2"], out, task=task, training=training)
 
@@ -221,7 +232,7 @@ def encoder_apply(
     if remat:
         body128 = jax.checkpoint(body128)
     out, g128_s = _scan_blocks(body128, out, params["group128"], state["group128"], masks128,
-                               training=training, unroll=fused)
+                               training=training, unroll=fused or ftrain)
 
     return out, {
         "initial": init_s, "down1": down1_s, "group64": g64_s,
@@ -244,7 +255,7 @@ def decoder_init(rng, num_classes: int, dtype):
 
 def decoder_apply(params, state, x, *, training: bool, remat: bool = False,
                   fused_infer: bool = False, return_penultimate: bool = False,
-                  packed_head: bool = False):
+                  packed_head: bool = False, fused_train: bool = False):
     """`return_penultimate=True` additionally returns the 16-channel features
     entering `output_conv` (the notebooks' `*_latent_space` model variants'
     `output_penultimate`, Plot_Tsne_Notebook cell 24).
@@ -255,22 +266,30 @@ def decoder_apply(params, state, x, *, training: bool, remat: bool = False,
     spatial layout."""
     out, up1_s = B.upsampler_apply(params["up1"], state["up1"], x, training=training)
     fused = fused_infer and not training
+    ftrain = fused_train and training
 
     def body(xin, p_i, s_i, _):
         if fused:
             from ..ops.pallas.nb1d import nb1d_fused_infer
 
             return nb1d_fused_infer(xin, p_i, s_i["bn1"], s_i["bn2"], dilated=1), s_i
+        if ftrain and xin.shape[-1] >= 64:
+            return B.nb1d_fused_train_apply(
+                p_i, s_i, xin, task=None, dilated=1, dropprob=0.0,
+            )
         return B.nb1d_apply(p_i, s_i, xin, dilated=1, dropprob=0.0, training=training)
 
     if remat:
         body = jax.checkpoint(body)
     dummy = jnp.zeros((2, 1))
+    # unroll only where a Pallas body is actually active (pallas_call inside
+    # a scanned body trips a lowering-cache bug; scan stays for XLA bodies —
+    # unrolled XLA blocks lose the hoisting the scan body enjoys)
     out, g64_s = _scan_blocks(body, out, params["group64"], state["group64"], dummy,
-                              training=training, unroll=fused)
+                              training=training, unroll=fused or (ftrain and out.shape[-1] >= 64))
     out, up2_s = B.upsampler_apply(params["up2"], state["up2"], out, training=training)
     out, g16_s = _scan_blocks(body, out, params["group16"], state["group16"], dummy,
-                              training=training, unroll=fused)
+                              training=training, unroll=fused or (ftrain and out.shape[-1] >= 64))
     penultimate = out
     if packed_head:
         from ..ops import conv_transpose2d_packed

@@ -123,7 +123,7 @@ class Trainer:
         data = math.gcd(cfg.batch_size, len(jax.devices()) // spatial)
         self.mesh = make_mesh(data * spatial, spatial=spatial)
         apply_fn = self.model.apply
-        if cfg.remat or cfg.compute_dtype != "float32":
+        if cfg.remat or cfg.compute_dtype != "float32" or cfg.fused_train:
             dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
             base_apply = self.model.apply
 
@@ -131,7 +131,8 @@ class Trainer:
                 # logits stay in the compute dtype; losses upcast inside
                 # their own fusions (a standalone f32 cast materializes a
                 # full-resolution tensor)
-                return base_apply(p, s, x.astype(dtype), task, remat=cfg.remat, **kw)
+                return base_apply(p, s, x.astype(dtype), task, remat=cfg.remat,
+                                  fused_train=cfg.fused_train, **kw)
 
         kld_fn = kld_faithful if cfg.kld == "faithful" else kld_corrected
         cur = cfg.current_task
