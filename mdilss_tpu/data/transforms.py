@@ -43,15 +43,47 @@ def decode_pair(
     width: int,
     label_map: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Decode + resize one (image, label) pair -> (u8 [H,W,3], u8 [H,W])."""
-    with open(img_path, "rb") as f:
-        img = Image.open(f).convert("RGB").resize((width, height), Image.BILINEAR)
-    with open(label_path, "rb") as f:
-        lbl = Image.open(f).convert("P")
-        if label_map is not None:
-            lbl = Image.fromarray(label_map[np.array(lbl)])
-        lbl = lbl.resize((width, height), Image.NEAREST)
-    return np.asarray(img, np.uint8), np.asarray(lbl, np.uint8)
+    """Decode + resize one (image, label) pair -> (u8 [H,W,3], u8 [H,W]).
+
+    Uses the native C++ decoder (mdilss_tpu/native) when available — fused
+    decode+resize, bit-exact with the PIL path (tests/test_native_decoder.py)
+    — and falls back to PIL per file for anything it does not handle.
+    The label LUT commutes with nearest resize, so it applies after.
+    """
+    from ..native import get_decoder
+
+    dec = get_decoder()
+    img = lbl = None
+    if dec is not None:
+        try:
+            with open(img_path, "rb") as f:
+                raw = f.read()
+            img = np.frombuffer(
+                dec.decode_image(raw, height, width), np.uint8
+            ).reshape(height, width, 3)
+        except ValueError:
+            img = None
+        try:
+            with open(label_path, "rb") as f:
+                raw = f.read()
+            lbl = np.frombuffer(
+                dec.decode_label(raw, height, width), np.uint8
+            )
+            lbl = (label_map[lbl] if label_map is not None else lbl).reshape(height, width)
+        except ValueError:
+            lbl = None
+    if img is None:
+        with open(img_path, "rb") as f:
+            pil = Image.open(f).convert("RGB").resize((width, height), Image.BILINEAR)
+        img = np.asarray(pil, np.uint8)
+    if lbl is None:
+        with open(label_path, "rb") as f:
+            pil = Image.open(f).convert("P")
+            if label_map is not None:
+                pil = Image.fromarray(label_map[np.array(pil)])
+            pil = pil.resize((width, height), Image.NEAREST)
+        lbl = np.asarray(pil, np.uint8)
+    return img, lbl
 
 
 # ---------------------------------------------------------------------------
