@@ -144,6 +144,10 @@ def main(argv=None):
     pc.add_argument("dst")
     pc.add_argument("--kind", default="rap")
     pc.add_argument("--nb-tasks", type=int, default=1)
+    pc.add_argument("--num-classes", type=int, nargs="+", default=None,
+                    help="per-task class counts (export direction; default 20 per task)")
+    pc.add_argument("--export", action="store_true",
+                    help="reverse direction: Orbax dir -> reference-format .pth.tar")
 
     args = parser.parse_args(argv)
 
@@ -203,16 +207,38 @@ def main(argv=None):
         return
 
     if args.cmd == "convert":
-        from .ckpt import convert_state_dict, load_pth_tar, orbax_io
+        from .ckpt import convert_state_dict, export_state_dict, load_pth_tar, orbax_io
         from .train import steps
 
-        params, bn = convert_state_dict(
-            load_pth_tar(args.src), kind=args.kind, nb_tasks=args.nb_tasks
-        )
         import jax
 
-        orbax_io.save(args.dst, 0, steps.init_train_state(params, bn),
-                      best_acc=0.0, rng=jax.random.key(0))
+        if args.export:
+            # Orbax dir -> reference-format .pth.tar (torch-loadable: the
+            # checkpoint dict shape of train_RAPFT_step1.py:364-370 with
+            # DataParallel 'module.'-prefixed keys)
+            from .evaluate import load_checkpoint
+
+            ncls = args.num_classes or [20] * args.nb_tasks
+            _, params, bn = load_checkpoint(args.src, kind=args.kind, num_classes=ncls)
+            sd = export_state_dict(params, bn, kind=args.kind, prefix="module.")
+            import torch
+
+            torch.save(
+                {
+                    "epoch": 0,
+                    "arch": args.kind,
+                    "state_dict": {k: torch.from_numpy(v.copy()) for k, v in sd.items()},
+                    "best_acc": 0.0,
+                    "optimizer": {},
+                },
+                args.dst,
+            )
+        else:
+            params, bn = convert_state_dict(
+                load_pth_tar(args.src), kind=args.kind, nb_tasks=args.nb_tasks
+            )
+            orbax_io.save(args.dst, 0, steps.init_train_state(params, bn),
+                          best_acc=0.0, rng=jax.random.key(0))
         print(f"converted {args.src} -> {args.dst}")
         return
 

@@ -100,3 +100,27 @@ def test_load_imagenet_encoder_only_touches_shared_convs():
             np.testing.assert_array_equal(after[k], pretrained["module.features." + k], err_msg=k)
         else:
             np.testing.assert_array_equal(after[k], v, err_msg=k)
+
+
+def test_cli_convert_round_trip(tmp_path):
+    """orbax -> --export .pth.tar (torch-loadable) -> orbax: bit-exact."""
+    import jax.numpy as jnp
+
+    from mdilss_tpu.ckpt import orbax_io
+    from mdilss_tpu.cli import main as cli_main
+    from mdilss_tpu.evaluate import load_checkpoint
+    from mdilss_tpu.models import erfnet_rap
+    from mdilss_tpu.train import steps
+
+    params, bn = erfnet_rap.init(jax.random.key(0), [6, 6], 2)
+    orbax_io.save(str(tmp_path / "orig"), 0, steps.init_train_state(params, bn),
+                  best_acc=0.0, rng=jax.random.key(0))
+    cli_main(["convert", str(tmp_path / "orig"), str(tmp_path / "ck.pth.tar"),
+              "--kind", "rap", "--nb-tasks", "2", "--num-classes", "6", "6", "--export"])
+    cli_main(["convert", str(tmp_path / "ck.pth.tar"), str(tmp_path / "back"),
+              "--kind", "rap", "--nb-tasks", "2"])
+    _, p2, b2 = load_checkpoint(str(tmp_path / "back"), kind="rap", num_classes=[6, 6])
+    x = jnp.linspace(0, 1, 1 * 32 * 64 * 3).reshape(1, 32, 64, 3).astype(jnp.float32)
+    a, _ = erfnet_rap.apply(params, bn, x, 1)
+    b, _ = erfnet_rap.apply(p2, b2, x, 1)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
