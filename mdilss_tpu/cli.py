@@ -139,6 +139,17 @@ def main(argv=None):
     pp.add_argument("--max-images", type=int, default=None)
     pp.add_argument("--save-gt", action="store_true")
 
+    pw = sub.add_parser("weights", help="compute class weights over train labels "
+                                        "(cal_class_weights.py workflow)")
+    pw.add_argument("--dataset", default="cityscapes")
+    pw.add_argument("--subset", default="train")
+    pw.add_argument("--q", type=float, default=1.1,
+                    help="w = 1/ln(q + p); reference used 1.1 (decoder), 1.2 (encoder)")
+    pw.add_argument("--height", type=int, default=512)
+    pw.add_argument("--width", type=int, default=1024)
+    pw.add_argument("--max-images", type=int, default=None)
+    pw.add_argument("--data-root", action="append", default=[], metavar="NAME=PATH")
+
     pc = sub.add_parser("convert", help="convert .pth.tar <-> framework params")
     pc.add_argument("src")
     pc.add_argument("dst")
@@ -204,6 +215,27 @@ def main(argv=None):
                 save_gt=args.save_gt, height=args.height, width=args.width,
             )
             print(json.dumps({"written": len(written), "out_dir": args.out_dir}))
+        return
+
+    if args.cmd == "weights":
+        import numpy as np
+
+        from .data import make_source
+        from .data.class_weights import compute_class_weights
+        from .data.transforms import decode_pair
+
+        roots = dict(kv.split("=", 1) for kv in args.data_root)
+        source = make_source(args.dataset, roots[args.dataset], args.subset)
+        pairs = source.pairs[: args.max_images]
+
+        def labels():
+            for ip, lp in pairs:
+                yield decode_pair(ip, lp, height=args.height, width=args.width,
+                                  label_map=source.label_map)[1]
+
+        w = compute_class_weights(labels(), source.num_classes, q=args.q)
+        print(json.dumps({"dataset": args.dataset, "n_images": len(pairs),
+                          "weights": [round(float(v), 6) for v in w]}))
         return
 
     if args.cmd == "convert":
