@@ -42,6 +42,8 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--remat", action="store_true")
     p.add_argument("--fused-train", action="store_true",
                    help="experimental: Pallas fused training blocks")
+    p.add_argument("--no-device-cache", action="store_true",
+                   help="disable the device-resident uint8 dataset cache")
     p.add_argument("--dtype", choices=("float32", "bfloat16"), default="float32")
     p.add_argument("--synthetic", action="store_true", help="synthetic data smoke run")
     p.add_argument("--synthetic-size", type=int, default=24)
@@ -62,6 +64,7 @@ def _common_kwargs(args) -> dict:
         num_workers=args.num_workers, resume=args.resume, seed=args.seed,
         remat=args.remat, compute_dtype=args.dtype, synthetic=args.synthetic,
         fused_train=args.fused_train,
+        device_cache="off" if args.no_device_cache else "auto",
         synthetic_size=args.synthetic_size, data_roots=roots,
         profile_dir=args.profile_dir,
     )

@@ -53,6 +53,7 @@ class TrainConfig:
     remat: bool = False
     compute_dtype: str = "float32"  # | bfloat16
     fused_train: bool = False  # experimental: Pallas fused training blocks
+    device_cache: str = "auto"  # "auto" | "off": whole-dataset uint8 HBM cache
     spatial_shards: int = 1
     log_images: bool = False
 

@@ -104,6 +104,48 @@ class Trainer:
         else:
             self.train_loaders = {cfg.datasets[cfg.current_task]: mk(cfg.datasets[cfg.current_task], "train", True)}
         self.val_loaders = {d: mk(d, "val", False) for d in cfg.datasets}
+        self._train_caches: dict[str, Any] = {}
+        self._val_caches: dict[str, Any] = {}
+        self._cache_budget = self._device_cache_budget()
+
+    def _device_cache_budget(self) -> int:
+        """Byte budget for device-resident dataset caches (device_cache.py):
+        55% of the device's reported memory limit, else a platform default."""
+        if self.cfg.device_cache == "off":
+            return 0
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            limit = int(stats.get("bytes_limit", 0))
+        except Exception:
+            limit = 0
+        if limit:
+            return int(limit * 0.55)
+        return (10 << 30) if jax.default_backend() != "cpu" else (1 << 30)
+
+    def _cache_for(self, dataset: str, subset: str):
+        """Device cache for (dataset, subset) if enabled and it fits; the
+        budget is claimed greedily across datasets, streaming otherwise."""
+        from ..data.device_cache import DeviceCache, cache_bytes, should_cache
+
+        caches = self._train_caches if subset == "train" else self._val_caches
+        if dataset in caches:
+            return caches[dataset]
+        loaders = self.train_loaders if subset == "train" else self.val_loaders
+        ld = loaders.get(dataset)
+        if ld is None or not should_cache(
+            ld.source, height=ld.height, width=ld.width, budget_bytes=self._cache_budget
+        ):
+            caches[dataset] = None
+            return None
+        try:
+            cache = DeviceCache(ld)
+        except Exception as e:  # e.g. device OOM: fall back to streaming
+            print(f"device cache for {dataset}/{subset} disabled: {e}")
+            cache = None
+        if cache is not None:
+            self._cache_budget -= cache_bytes(len(ld.source), ld.height, ld.width)
+        caches[dataset] = cache
+        return cache
 
     def _weight(self, dataset: str) -> np.ndarray:
         if dataset in CLASS_WEIGHTS:
@@ -225,10 +267,16 @@ class Trainer:
         losses = {k: [] for k in ("loss", "ce", "kld")}
         from ..data.loader import device_prefetch
 
+        def batches(d):
+            cache = self._cache_for(d, "train")
+            if cache is not None:
+                return cache.epoch_batches(epoch)
+            ld = self.train_loaders[d]
+            ld.set_epoch(epoch)
+            return device_prefetch(ld)
+
         if cfg.protocol == "multitask":
-            for ld in self.train_loaders.values():
-                ld.set_epoch(epoch)
-            iters = {d: device_prefetch(ld) for d, ld in self.train_loaders.items()}
+            iters = {d: iter(batches(d)) for d in cfg.datasets}
             n_iters = min(len(ld) for ld in self.train_loaders.values())
             for _ in range(n_iters):
                 for t, d in enumerate(cfg.datasets):
@@ -237,9 +285,7 @@ class Trainer:
         else:
             cur = cfg.current_task
             d = cfg.datasets[cur]
-            ld = self.train_loaders[d]
-            ld.set_epoch(epoch)
-            for imgs, lbls, _ in device_prefetch(ld):
+            for imgs, lbls, _ in batches(d):
                 self._one_batch(d, cur, imgs, lbls, epoch, losses)
         out = {f"train_{k}": float(np.mean(v)) for k, v in losses.items() if v}
         out["epoch_seconds"] = time.time() - t0
@@ -274,7 +320,10 @@ class Trainer:
         from ..data.loader import device_prefetch
 
         estep = self.eval_steps[dataset]
-        for imgs, lbls, valid in device_prefetch(self.val_loaders[dataset]):
+        cache = self._cache_for(dataset, "val")
+        batches = (cache.epoch_batches(0, shuffle=False) if cache is not None
+                   else device_prefetch(self.val_loaders[dataset]))
+        for imgs, lbls, valid in batches:
             x, y = prepare_batch(jnp.asarray(imgs), jnp.asarray(lbls), num_classes=nc)
             # padded samples -> all-ignore labels: contribute to neither CE nor IoU
             y = jnp.where(jnp.asarray(valid)[:, None, None], y, nc - 1)
