@@ -87,6 +87,8 @@ def evaluate_checkpoint(
     apply_fn, params, bn = load_checkpoint(ckpt, kind=kind, num_classes=num_classes)
     results = {}
     data_roots = data_roots or {}
+    from .analysis.names import NAMES_BY_DATASET
+
     for t, (d, nc) in enumerate(zip(datasets, num_classes)):
         if synthetic or d not in data_roots:
             source = SyntheticSource(nc, n=8, height=height, width=width)
@@ -96,6 +98,12 @@ def evaluate_checkpoint(
         miou, per_class = evaluate_domain(
             apply_fn, params, bn, task=t, num_classes=nc, loader=loader
         )
+        # per-class IoU table with class names, ANSI-colored like the
+        # notebook's eval cell (Evaluation_Notebook cell 5; iouEval.py:92-104)
+        names = NAMES_BY_DATASET.get(d, [])
+        for ci, iou in enumerate(per_class):
+            name = names[ci] if ci < len(names) else f"class {ci}"
+            print(f"  {getColorEntry(float(iou))}{iou * 100:6.2f}\033[0m%  {name}")
         color = getColorEntry(miou)
         print(f"{d}: mIoU {color}{miou * 100:.2f}\033[0m% over {len(per_class)} classes")
         results[d] = miou

@@ -21,7 +21,10 @@ B = 6
 x = jax.random.normal(jax.random.key(2), (B, 512, 1024, 3))
 y = jax.random.randint(jax.random.key(3), (B, 512, 1024), 0, C)
 t0 = time.time()
-lowered = step.lower(ts, teacher, x, y, jax.random.key(4), 1)
+from mdilss_tpu.models.topology import make_dropout_masks
+import numpy as _np
+_dm = [make_dropout_masks(_np.random.default_rng(3), B) for _ in range(2)]
+lowered = step.lower(ts, teacher, x, y, _dm, jax.random.key(4), 1)
 print(f"lowered in {time.time()-t0:.1f}s", flush=True)
 t0 = time.time()
 compiled = lowered.compile()
@@ -29,13 +32,13 @@ print(f"compiled in {time.time()-t0:.1f}s", flush=True)
 mem = compiled.memory_analysis()
 print("memory:", mem, flush=True)
 t0 = time.time()
-ts, m = compiled(ts, teacher, x, y, jax.random.key(4), 1)
+ts, m = compiled(ts, teacher, x, y, _dm, jax.random.key(4), 1)
 jax.block_until_ready(ts)
 print(f"first step: {time.time()-t0:.2f}s loss={float(m['loss']):.4f} ce={float(m['ce']):.4f} kld={float(m['kld']):.5f}", flush=True)
 N = 10
 t0 = time.time()
 for i in range(N):
-    ts, m = compiled(ts, teacher, x, y, jax.random.key(5+i), 1)
+    ts, m = compiled(ts, teacher, x, y, _dm, jax.random.key(5+i), 1)
 jax.block_until_ready(ts)
 dt = (time.time()-t0)/N
 print(f"steady state: {dt*1000:.1f} ms/step -> {B/dt:.1f} img/s (train w/ distillation)", flush=True)
