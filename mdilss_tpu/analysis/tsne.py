@@ -121,16 +121,24 @@ def plot_tsne(
     path: str,
     *,
     class_names: Sequence[str] = CITY_NAMES,
-    sample_labels: Sequence[int] = tuple(range(10)),
-    exclude: Sequence[int] = (19,),
+    sample_labels: Sequence[int] | None = None,
+    exclude: Sequence[int] | None = None,
 ) -> str:
     """Square-marker scatter per class, Cityscapes palette, legend of class
-    names (plot_tsne, cell 18). Returns the saved path."""
+    names (plot_tsne, cell 18). Returns the saved path.
+
+    `sample_labels` defaults to every class present in `labels` (the
+    notebook's own cell 17 restricted itself to classes 0-9 — pass
+    range(10) to reproduce that figure exactly); `exclude` defaults to the
+    ignore class (last name index)."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    if sample_labels is None:
+        sample_labels = sorted(int(v) for v in np.unique(labels))
+    exclude = () if exclude is None else exclude
     cmap = colormap_cityscapes(256).astype(np.float64) / 256.0
     fig, ax = plt.subplots(figsize=(16, 16))
     for label in sample_labels:
@@ -176,5 +184,7 @@ def run_tsne(
     )
     samples, y = sample_pixels(feats, labels, n=n_samples, seed=seed)
     emb = tsne_embed(samples)
-    plot_tsne(emb, y, out_path, class_names=class_names)
+    # every class present in the sample is plotted; the remapped ignore
+    # index (num_classes - 1) is dropped like the notebook's `label != 19`
+    plot_tsne(emb, y, out_path, class_names=class_names, exclude=(num_classes - 1,))
     return {"image": fname, "embedding": emb, "labels": y, "plot": out_path}

@@ -86,6 +86,28 @@ def device_prefetch(iterator, *, depth: int = 2, put=None):
         yield out
 
 
+def batch_indices(n: int, batch_size: int, *, seed: int, epoch: int,
+                  shuffle: bool, drop_last: bool):
+    """THE batching rule (one place): per-epoch `default_rng(seed + epoch)`
+    permutation, drop-last for training, zero-index padding + valid mask for
+    the final eval batch. Shared by the streaming Loader and the device
+    cache so cached runs reproduce streamed batch sequences exactly.
+
+    Yields (idx [batch_size] int64, valid [batch_size] bool).
+    """
+    order = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed + epoch).shuffle(order)
+    nb = n // batch_size if drop_last else -(-n // batch_size)
+    for b in range(nb):
+        idx = order[b * batch_size : (b + 1) * batch_size]
+        valid = np.ones(batch_size, bool)
+        if len(idx) < batch_size:
+            valid[len(idx):] = False
+            idx = np.concatenate([idx, np.zeros(batch_size - len(idx), np.int64)])
+        yield idx, valid
+
+
 class Loader:
     """Iterable over uint8 (images [N,H,W,3], labels [N,H,W]) numpy batches.
 
@@ -137,23 +159,18 @@ class Loader:
     def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
         """Yields (images, labels, valid_mask). valid_mask is all-ones except
         for a padded final batch (drop_last=False)."""
-        order = np.arange(len(self.source))
-        if self.shuffle:
-            np.random.default_rng(self.seed + self.epoch).shuffle(order)
-        nb = len(self)
+        plan = list(batch_indices(
+            len(self.source), self.batch_size, seed=self.seed, epoch=self.epoch,
+            shuffle=self.shuffle, drop_last=self.drop_last,
+        ))
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
         def produce():
             with ThreadPoolExecutor(self.num_threads) as pool:
-                for b in range(nb):
+                for idxs, valid in plan:
                     if stop.is_set():
                         return
-                    idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
-                    valid = np.ones(self.batch_size, bool)
-                    if len(idxs) < self.batch_size:  # padded final batch
-                        valid[len(idxs) :] = False
-                        idxs = np.concatenate([idxs, np.zeros(self.batch_size - len(idxs), np.int64)])
                     pairs = list(pool.map(self._decode, idxs))
                     images = np.stack([p[0] for p in pairs])
                     labels = np.stack([p[1] for p in pairs])

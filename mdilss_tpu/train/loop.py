@@ -77,7 +77,10 @@ class Trainer:
         self._np_rng = _np.random.default_rng(cfg.seed + 1)
         from ..utils.profiling import StepTracer
 
-        self._tracer = StepTracer(cfg.profile_dir, n=cfg.profile_steps)
+        self._tracer = StepTracer(
+            cfg.profile_dir, n=cfg.profile_steps,
+            sync=lambda: jax.block_until_ready(self.ts.params),
+        )
         self.best_acc = -np.inf
         self.start_epoch = 1
         if cfg.resume:
@@ -119,8 +122,12 @@ class Trainer:
         except Exception:
             limit = 0
         if limit:
-            return int(limit * 0.55)
-        return (10 << 30) if jax.default_backend() != "cpu" else (1 << 30)
+            # leave ~half for params/optimizer/activations of the train step
+            return int(limit * 0.5)
+        # unknown limit (e.g. remote backends without memory_stats): stay
+        # conservative — a cache-build OOM falls back to streaming, but a
+        # later train-step OOM would not
+        return (6 << 30) if jax.default_backend() != "cpu" else (1 << 30)
 
     def _cache_for(self, dataset: str, subset: str):
         """Device cache for (dataset, subset) if enabled and it fits; the

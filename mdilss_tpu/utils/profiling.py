@@ -11,12 +11,20 @@ import jax
 
 
 class StepTracer:
-    """Traces steps [start, start+n) of the first profiled epoch."""
+    """Traces steps [start, start+n) of the first profiled epoch.
 
-    def __init__(self, logdir: str | None, *, start: int = 2, n: int = 8):
+    `sync` (optional) is called before stop_trace to block until the
+    asynchronously-dispatched traced steps have actually executed on device —
+    without it the trace can close while the device is still running them
+    (train dispatch is async; see bench.py's synchronization note). The
+    trainer passes a block_until_ready over its train state.
+    """
+
+    def __init__(self, logdir: str | None, *, start: int = 2, n: int = 8, sync=None):
         self.logdir = logdir
         self.start = start
         self.n = n
+        self.sync = sync
         self._step = 0
         self._active = False
         self._done = logdir is None
@@ -34,6 +42,8 @@ class StepTracer:
 
     def stop(self) -> None:
         if self._active:
+            if self.sync is not None:
+                self.sync()
             jax.profiler.stop_trace()
             self._active = False
             print(f"profiler trace written to {self.logdir}")
