@@ -37,11 +37,13 @@ class TrainConfig:
     two_phase: bool = True  # step 3 only: reproduce the 2-optimizer-step batch
     eval_every: int = 1  # epochs between current-task validations
     eval_old_every: int = 1  # step2: every epoch; step3 used 10
+    iou_train: bool = False  # compute train IoU in the train step (--iouTrain)
 
     # data
     data_roots: dict = field(default_factory=dict)  # name -> root dir
     synthetic: bool = False  # synthetic data (tests / smoke runs)
     synthetic_size: int = 24
+    synthetic_kind: str = "noise"  # | "learnable" (labels derivable from pixels)
     num_workers: int = 8
 
     # infra
@@ -80,20 +82,21 @@ class TrainConfig:
 # ---------------------------------------------------------------------------
 
 def step1(**kw) -> TrainConfig:
-    """RAP-FT on Cityscapes from the ImageNet-pretrained encoder."""
-    return TrainConfig(
-        protocol="step1", datasets=("cityscapes",), num_classes=(20,),
-        current_task=0, **kw,
-    )
+    """RAP-FT on Cityscapes from the ImageNet-pretrained encoder.
+
+    Preset fields use setdefault so tests/smoke runs may override e.g.
+    num_classes with tiny values."""
+    kw.setdefault("datasets", ("cityscapes",))
+    kw.setdefault("num_classes", (20,))
+    return TrainConfig(protocol="step1", current_task=0, **kw)
 
 
 def step2(order: str = "CS_BDD", **kw) -> TrainConfig:
     """CS->BDD (default) or CS->IDD incremental step with distillation."""
     second = {"CS_BDD": ("BDD", 20), "CS_IDD": ("IDD", 27)}[order]
-    return TrainConfig(
-        protocol="step2", datasets=("cityscapes", second[0]),
-        num_classes=(20, second[1]), current_task=1, **kw,
-    )
+    kw.setdefault("datasets", ("cityscapes", second[0]))
+    kw.setdefault("num_classes", (20, second[1]))
+    return TrainConfig(protocol="step2", current_task=1, **kw)
 
 
 def step3(order: str = "CS_BDD_IDD", **kw) -> TrainConfig:
@@ -101,10 +104,9 @@ def step3(order: str = "CS_BDD_IDD", **kw) -> TrainConfig:
     third = {"CS_BDD_IDD": (("cityscapes", "BDD", "IDD"), (20, 20, 27)),
              "CS_IDD_BDD": (("cityscapes", "IDD", "BDD"), (20, 27, 20))}[order]
     kw.setdefault("eval_old_every", 10)  # ref validates all 3 every 10 epochs
-    return TrainConfig(
-        protocol="step3", datasets=third[0], num_classes=third[1],
-        current_task=2, **kw,
-    )
+    kw.setdefault("datasets", third[0])
+    kw.setdefault("num_classes", third[1])
+    return TrainConfig(protocol="step3", current_task=2, **kw)
 
 
 def multitask(**kw) -> TrainConfig:

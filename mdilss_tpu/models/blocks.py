@@ -253,6 +253,14 @@ def nb1d_fused_train_apply(
     rap = "rap1" in p
     n, h, w, c = x.shape
     m_count = n * h * w
+    if dropprob > 0.0 and drop_mask is None:
+        # The fused kernels take dropout as a precomputed host mask; silently
+        # training without dropout here would diverge from the XLA path
+        # (which draws rng-based dropout2d). Fail loudly instead.
+        raise ValueError(
+            "nb1d_fused_train_apply requires host-generated drop_masks when "
+            "dropprob > 0 (models/topology.py make_dropout_masks)"
+        )
     if drop_mask is not None and dropprob > 0.0:
         mask_scaled = drop_mask.astype(jnp.float32) / (1.0 - dropprob)
     else:

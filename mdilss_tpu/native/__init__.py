@@ -28,13 +28,22 @@ def _build(src_dir: str) -> str | None:
     if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
         return out
     include = sysconfig.get_paths()["include"]
+    # Compile to a temp file and os.replace() into place: concurrent
+    # builders (parallel CLI runs) then always dlopen a complete .so —
+    # rename is atomic within the directory.
+    tmp = os.path.join(src_dir, f"_native_decoder.tmp{os.getpid()}.so")
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-        f"-I{include}", src, "-lpng", "-ljpeg", "-o", out,
+        f"-I{include}", src, "-lpng", "-ljpeg", "-o", tmp,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=240)
+        os.replace(tmp, out)
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return None
     return out
 

@@ -30,7 +30,24 @@ are one shift-stacked matmul, 1xk col convs three W-shifted matmuls.
 
 Both kernels tile rows with a halo (grid (N, H/tile)); per-channel vectors
 ship as (1, C) f32; weight-gradient outputs accumulate across the
-sequentially-executed grid into revisited VMEM blocks.
+sequentially-executed grid into revisited VMEM blocks. v2: C%128==0 blocks
+stream their overlapping row windows by double-buffered in-kernel DMA from
+the halo-padded HBM array (`_halo_dma`) — no staging pass; other channel
+counts fall back to `_overlap_tiles` staging (Mosaic manual DMA requires a
+128-aligned lane dim).
+
+STATUS (measured, round 2, step-2 distill bs6 512x1024 bf16+remat on v5e):
+v1 205-226 ms/step -> v2 172.9 ms, vs 117.2 ms for the XLA path. The gap is
+the pallas/XLA boundary tax (layout-conversion copies + BN glue XLA would
+fuse into its own convs); see docs/DESIGN.md "Pallas kernels" for the
+control experiments. Kept as an experimental, correctness-verified
+reference; the XLA path is the production default.
+
+SINGLE-DEVICE ONLY: pallas_call is not auto-partitioned under a mesh, so the
+in-kernel BN batch statistics are per-shard — they cannot reproduce the
+sync-BN (global jnp.mean under pjit) semantics of the XLA path. The Trainer
+enforces this (train/loop.py rejects fused_train on a >1-device mesh); wrap
+via shard_map with explicit psums before lifting that restriction.
 """
 from __future__ import annotations
 
@@ -54,8 +71,51 @@ def _pick_tile(h: int, w: int, c: int, itemsize: int, budget: int = 1024 * 1024)
     return tile_h
 
 
+def _halo_dma(hbm_ref, buf, sem, tile_h: int, rows: int, n_tiles: int):
+    """Double-buffered halo reads: the kernel streams overlapping row windows
+    [s*tile_h, s*tile_h + rows) of a halo-PADDED [N, H + 2*halo, W, C] array
+    straight out of HBM, prefetching the next grid step's window while the
+    current one computes. This replaces the v1 `_overlap_tiles` staging pass
+    (an XLA stack that re-wrote every input ~1.2x to make windows
+    BlockSpec-shaped) with zero extra HBM traffic.
+
+    Returns (current_window_value, ()). Call once at kernel top.
+    """
+    i, s = pl.program_id(0), pl.program_id(1)
+    step = i * n_tiles + s
+
+    def dma(slot, ii, ss):
+        return pltpu.make_async_copy(
+            hbm_ref.at[ii, pl.ds(ss * tile_h, rows)], buf.at[slot], sem.at[slot]
+        )
+
+    @pl.when(step == 0)
+    def _warm():
+        dma(0, i, s).start()
+
+    total = pl.num_programs(0) * n_tiles
+
+    @pl.when(step + 1 < total)
+    def _prefetch():
+        nstep = step + 1
+        dma(jax.lax.rem(nstep, 2), jax.lax.div(nstep, n_tiles),
+            jax.lax.rem(nstep, n_tiles)).start()
+
+    slot = jax.lax.rem(step, 2)
+    dma(slot, i, s).wait()
+    return buf[slot]
+
+
 def _overlap_tiles(x: jax.Array, tile_h: int, halo: int) -> jax.Array:
-    """[N,H,W,C] -> [N, S, tile_h + 2*halo, W, C] overlapping row tiles."""
+    """[N,H,W,C] -> [N, S, tile_h + 2*halo, W, C] overlapping row tiles.
+
+    Fallback staging for C not divisible by 128: Mosaic's manual-DMA path
+    requires the minor (lane) dimension of a sliced copy to be 128-aligned,
+    so the C=64/16 blocks can't stream halos with `_halo_dma` and instead
+    stage BlockSpec-shaped windows in XLA (one extra read+write of the
+    input). The C=128 group — where ~80% of the FLOPs and bytes live at
+    512x1024 scale — takes the zero-copy DMA path.
+    """
     n, h, w, c = x.shape
     xp = jnp.pad(x, ((0, 0), (halo, halo), (0, 0), (0, 0)))
     s = h // tile_h
@@ -75,12 +135,16 @@ def _row_zero(v, tile_h: int, lead: int, img_h: int, s):
 # ---------------------------------------------------------------------------
 
 def _fwd_pair_kernel(
-    x_ref, w31, b31, w13, rapw, pre_a, pre_b,
-    y_ref, stats_ref,
+    x_in, w31, b31, w13, rapw, pre_a, pre_b,
+    y_ref, stats_ref, xbuf, xsem,
     *, halo: int, d: int, tile_h: int, img_h: int, use_rap: bool, pre: bool,
+    n_tiles: int, use_dma: bool,
 ):
     i, s = pl.program_id(0), pl.program_id(1)
-    x = x_ref[0, 0]
+    if use_dma:
+        x = _halo_dma(x_in, xbuf, xsem, tile_h, tile_h + 2 * halo, n_tiles)
+    else:
+        x = x_in[0, 0]
     dt = x.dtype
 
     if pre:
@@ -95,7 +159,7 @@ def _fwd_pair_kernel(
     if use_rap:
         xc = x[halo : halo + tile_h]
         y = y + _mm(xc.reshape(-1, xc.shape[-1]), rapw[:]).reshape(y.shape)
-    y_ref[0, 0] = y
+    y_ref[0] = y
 
     yf = y.astype(jnp.float32)
     part = jnp.stack([jnp.sum(yf, axis=(0, 1)), jnp.sum(yf * yf, axis=(0, 1))])
@@ -127,7 +191,20 @@ def fwd_pair(
     tile_h = _pick_tile(h, w, c, x.dtype.itemsize)
     n_tiles = h // tile_h
 
-    x_tiles = _overlap_tiles(x, tile_h, halo)
+    # C%128==0: halo-pad once (cheap) and stream overlapping windows by DMA —
+    # no staging pass. Other C: stage BlockSpec tiles (see _overlap_tiles).
+    use_dma = c % 128 == 0
+    if use_dma:
+        x_op = jnp.pad(x, ((0, 0), (halo, halo), (0, 0), (0, 0)))
+        x_spec = pl.BlockSpec(memory_space=pl.ANY)
+        xbuf_shape = (2, tile_h + 2 * halo, w, c)
+    else:
+        x_op = _overlap_tiles(x, tile_h, halo)
+        x_spec = pl.BlockSpec(
+            (1, 1, tile_h + 2 * halo, w, c), lambda i, s: (i, s, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        xbuf_shape = (8, 128)  # unused dummy scratch
     w31s = jnp.asarray(_stack_row_w(w31), dt)
     w13s = jnp.asarray(_stack_col_w(w13), dt)
     b31v = b31.astype(jnp.float32).reshape(1, -1)
@@ -141,29 +218,29 @@ def fwd_pair(
 
     kernel = functools.partial(
         _fwd_pair_kernel, halo=halo, d=d, tile_h=tile_h, img_h=h,
-        use_rap=rap, pre=pre is not None,
-    )
-    in_block = pl.BlockSpec(
-        (1, 1, tile_h + 2 * halo, w, c), lambda i, s: (i, s, 0, 0, 0),
-        memory_space=pltpu.VMEM,
+        use_rap=rap, pre=pre is not None, n_tiles=n_tiles, use_dma=use_dma,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     y, stats = pl.pallas_call(
         kernel,
         grid=(n, n_tiles),
-        in_specs=[in_block] + [vmem] * 6,
+        in_specs=[x_spec] + [vmem] * 6,
         out_specs=[
-            pl.BlockSpec((1, 1, tile_h, w, c), lambda i, s: (i, s, 0, 0, 0),
+            pl.BlockSpec((1, tile_h, w, c), lambda i, s: (i, s, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, c), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, n_tiles, tile_h, w, c), dt),
+            jax.ShapeDtypeStruct((n, h, w, c), dt),
             jax.ShapeDtypeStruct((2, c), jnp.float32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM(xbuf_shape, dt),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         interpret=interpret,
-    )(x_tiles, w31s, b31v, w13s, rapm, pa, pb)
-    return y.reshape(n, h, w, c), stats
+    )(x_op, w31s, b31v, w13s, rapm, pa, pb)
+    return y, stats
 
 
 # ---------------------------------------------------------------------------
@@ -179,15 +256,21 @@ def _wgrad(a2d, b2d):
 
 
 def _bwd_pair_kernel(
-    raw_ref, gy_ref,
+    raw_in, gy_in,
     w31f, b31, w13b, w31b, rapwT, pre_a, pre_b,
     du_ref, dw31_ref, db31_ref, dw13_ref, drap_ref,
+    rawbuf, rawsem, gybuf, gysem,
     *, d: int, tile_h: int, img_h: int, use_rap: bool, pre: bool, w: int,
+    n_tiles: int, use_dma: bool,
 ):
     i, s = pl.program_id(0), pl.program_id(1)
-    dt = raw_ref.dtype
-    u = raw_ref[0, 0]  # halo 2d
-    gy = gy_ref[0, 0]  # halo d
+    if use_dma:
+        u = _halo_dma(raw_in, rawbuf, rawsem, tile_h, tile_h + 4 * d, n_tiles)  # halo 2d
+        gy = _halo_dma(gy_in, gybuf, gysem, tile_h, tile_h + 2 * d, n_tiles)  # halo d
+    else:
+        u = raw_in[0, 0]
+        gy = gy_in[0, 0]
+    dt = u.dtype
     c_ch = u.shape[-1]
 
     if pre:
@@ -210,7 +293,7 @@ def _bwd_pair_kernel(
     gy_c = gy[d : d + tile_h]
     if use_rap:
         du = du + _mm(gy_c.reshape(-1, c_ch), rapwT[:]).reshape(du.shape)
-    du_ref[0, 0] = du.astype(dt)
+    du_ref[0] = du.astype(dt)
 
     # ---- accumulated weight grads (center rows only) ----
     @pl.when(jnp.logical_and(i == 0, s == 0))
@@ -267,8 +350,25 @@ def bwd_pair(
     tile_h = _pick_tile(h, w, c, raw.dtype.itemsize, budget=512 * 1024)
     n_tiles = h // tile_h
 
-    raw_tiles = _overlap_tiles(raw, tile_h, 2 * d)
-    gy_tiles = _overlap_tiles(g_y, tile_h, d)
+    use_dma = c % 128 == 0
+    if use_dma:
+        raw_op = jnp.pad(raw, ((0, 0), (2 * d, 2 * d), (0, 0), (0, 0)))
+        gy_op = jnp.pad(g_y, ((0, 0), (d, d), (0, 0), (0, 0)))
+        raw_spec = gy_spec = pl.BlockSpec(memory_space=pl.ANY)
+        rawbuf_shape = (2, tile_h + 4 * d, w, c)
+        gybuf_shape = (2, tile_h + 2 * d, w, c)
+    else:
+        raw_op = _overlap_tiles(raw, tile_h, 2 * d)
+        gy_op = _overlap_tiles(g_y, tile_h, d)
+        raw_spec = pl.BlockSpec(
+            (1, 1, tile_h + 4 * d, w, c), lambda i, s: (i, s, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        gy_spec = pl.BlockSpec(
+            (1, 1, tile_h + 2 * d, w, c), lambda i, s: (i, s, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        rawbuf_shape = gybuf_shape = (8, 128)  # unused dummy scratch
 
     w31f = jnp.asarray(_stack_row_w(w31), dt)
     b31v = b31.astype(jnp.float32).reshape(1, -1)
@@ -285,40 +385,38 @@ def bwd_pair(
 
     kernel = functools.partial(
         _bwd_pair_kernel, d=d, tile_h=tile_h, img_h=h, use_rap=rap,
-        pre=pre is not None, w=w,
-    )
-    raw_block = pl.BlockSpec(
-        (1, 1, tile_h + 4 * d, w, c), lambda i, s: (i, s, 0, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    gy_block = pl.BlockSpec(
-        (1, 1, tile_h + 2 * d, w, c), lambda i, s: (i, s, 0, 0, 0),
-        memory_space=pltpu.VMEM,
+        pre=pre is not None, w=w, n_tiles=n_tiles, use_dma=use_dma,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     acc = lambda shape: pl.BlockSpec(shape, lambda i, s: (0,) * len(shape), memory_space=pltpu.VMEM)
     du, dw31, db31, dw13, drap = pl.pallas_call(
         kernel,
         grid=(n, n_tiles),
-        in_specs=[raw_block, gy_block] + [vmem] * 7,
+        in_specs=[raw_spec, gy_spec] + [vmem] * 7,
         out_specs=[
-            pl.BlockSpec((1, 1, tile_h, w, c), lambda i, s: (i, s, 0, 0, 0),
+            pl.BlockSpec((1, tile_h, w, c), lambda i, s: (i, s, 0, 0),
                          memory_space=pltpu.VMEM),
             acc((3, c, c)), acc((1, c)), acc((3, c, c)), acc((c, c)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, n_tiles, tile_h, w, c), dt),
+            jax.ShapeDtypeStruct((n, h, w, c), dt),
             jax.ShapeDtypeStruct((3, c, c), jnp.float32),
             jax.ShapeDtypeStruct((1, c), jnp.float32),
             jax.ShapeDtypeStruct((3, c, c), jnp.float32),
             jax.ShapeDtypeStruct((c, c), jnp.float32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM(rawbuf_shape, dt),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM(gybuf_shape, dt),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         interpret=interpret,
-    )(raw_tiles, gy_tiles, w31f, b31v, w13bT, w31bT, rapT, pa, pb)
+    )(raw_op, gy_op, w31f, b31v, w13bT, w31bT, rapT, pa, pb)
     dw31_o = dw31.reshape(3, 1, c, c)
     dw13_o = dw13.reshape(1, 3, c, c)
     return (
-        du.reshape(n, h, w, c),
+        du,
         dw31_o, db31.reshape(c), dw13_o,
         drap if rap else None,
     )

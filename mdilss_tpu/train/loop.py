@@ -77,12 +77,16 @@ class Trainer:
         self._np_rng = _np.random.default_rng(cfg.seed + 1)
         from ..utils.profiling import StepTracer
 
+        # Sync by FETCHING one element: on the remote-tunnel backend
+        # block_until_ready can return before execution completes; a D2H
+        # scalar read is the only reliable barrier (see bench.py).
         self._tracer = StepTracer(
             cfg.profile_dir, n=cfg.profile_steps,
-            sync=lambda: jax.block_until_ready(self.ts.params),
+            sync=lambda: float(jax.tree.leaves(self.ts.params)[0].reshape(-1)[0]),
         )
         self.best_acc = -np.inf
         self.start_epoch = 1
+        self._train_evs = None
         if cfg.resume:
             self._try_resume()
 
@@ -90,9 +94,16 @@ class Trainer:
     def _source(self, name: str, subset: str):
         cfg = self.cfg
         if cfg.synthetic or name not in cfg.data_roots:
+            import zlib
+
+            from ..data.loader import LearnableSource
+
+            cls = LearnableSource if cfg.synthetic_kind == "learnable" else SyntheticSource
             nc = cfg.num_classes[cfg.datasets.index(name)]
-            return SyntheticSource(nc, n=cfg.synthetic_size, height=cfg.height, width=cfg.width,
-                                   seed=hash((name, subset)) % 2**31)
+            # stable across processes (python str hash is salted)
+            seed = zlib.crc32(f"{name}/{subset}".encode()) % 2**31
+            return cls(nc, n=cfg.synthetic_size, height=cfg.height, width=cfg.width,
+                       seed=seed)
         return make_source(name, cfg.data_roots[name], subset)
 
     def _build_data(self):
@@ -113,7 +124,7 @@ class Trainer:
 
     def _device_cache_budget(self) -> int:
         """Byte budget for device-resident dataset caches (device_cache.py):
-        55% of the device's reported memory limit, else a platform default."""
+        50% of the device's reported memory limit, else a platform default."""
         if self.cfg.device_cache == "off":
             return 0
         try:
@@ -145,7 +156,7 @@ class Trainer:
             caches[dataset] = None
             return None
         try:
-            cache = DeviceCache(ld)
+            cache = DeviceCache(ld, mesh=self.mesh)
         except Exception as e:  # e.g. device OOM: fall back to streaming
             print(f"device cache for {dataset}/{subset} disabled: {e}")
             cache = None
@@ -155,9 +166,13 @@ class Trainer:
         return cache
 
     def _weight(self, dataset: str) -> np.ndarray:
-        if dataset in CLASS_WEIGHTS:
-            return CLASS_WEIGHTS[dataset]
         nc = self.cfg.num_classes[self.cfg.datasets.index(dataset)]
+        if dataset in CLASS_WEIGHTS and len(CLASS_WEIGHTS[dataset]) == nc:
+            return CLASS_WEIGHTS[dataset]
+        # non-standard class count (synthetic smoke runs) or no precomputed
+        # table (IDD_union / VOC12, unused by the reference's main flow —
+        # recompute via `python -m mdilss_tpu weights` for a real table):
+        # uniform weights, ignore class zeroed
         w = np.ones(nc, np.float32)
         w[-1] = 0.0
         return w
@@ -171,6 +186,15 @@ class Trainer:
         spatial = cfg.spatial_shards
         data = math.gcd(cfg.batch_size, len(jax.devices()) // spatial)
         self.mesh = make_mesh(data * spatial, spatial=spatial)
+        if cfg.fused_train and data * spatial > 1:
+            # pallas_call is not auto-partitioned: the fused kernels compute
+            # BN batch stats per-shard, silently breaking the sync-BN
+            # semantics the XLA path gets from jnp.mean under the mesh.
+            raise ValueError(
+                "--fused-train is single-device only (in-kernel BN batch "
+                "stats are not mesh-reduced); drop spatial_shards/extra "
+                "devices or disable fused_train"
+            )
         apply_fn = self.model.apply
         if cfg.remat or cfg.compute_dtype != "float32" or cfg.fused_train:
             dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
@@ -205,7 +229,8 @@ class Trainer:
                 decoder_lrs=dec_lrs,
             )
 
-        common = dict(lr_tree=lr_tree, num_epochs=cfg.num_epochs, weight_decay=cfg.weight_decay)
+        common = dict(lr_tree=lr_tree, num_epochs=cfg.num_epochs,
+                      weight_decay=cfg.weight_decay, iou_train=cfg.iou_train)
         self.train_steps: dict[str, Any] = {}
         if cfg.protocol in ("step1", "ft", "fe", "singletask"):
             self.train_steps[cur_ds] = jit_train_step(
@@ -272,6 +297,11 @@ class Trainer:
         cfg = self.cfg
         t0 = time.time()
         losses = {k: [] for k in ("loss", "ce", "kld")}
+        self._train_evs = (
+            {d: IoUEvaluator(self.cfg.num_classes[t], self.cfg.num_classes[t] - 1)
+             for t, d in enumerate(cfg.datasets)}
+            if cfg.iou_train else None
+        )
         from ..data.loader import device_prefetch
 
         def batches(d):
@@ -295,6 +325,16 @@ class Trainer:
             for imgs, lbls, _ in batches(d):
                 self._one_batch(d, cur, imgs, lbls, epoch, losses)
         out = {f"train_{k}": float(np.mean(v)) for k, v in losses.items() if v}
+        if self._train_evs is not None:
+            ious = []
+            for d, ev in self._train_evs.items():
+                if np.sum(ev._cm) == 0:
+                    continue
+                iou, _ = ev.get_iou()
+                out[f"train_iou_{d}"] = float(iou)
+                ious.append(float(iou))
+            if ious:
+                out["train_iou"] = float(np.mean(ious))
         out["epoch_seconds"] = time.time() - t0
         return out
 
@@ -303,7 +343,10 @@ class Trainer:
 
         self._tracer.tick()
         nc = self.cfg.num_classes[task]
-        x, y = augment_batch(jnp.asarray(imgs), jnp.asarray(lbls), self._next_rng(), num_classes=nc)
+        # mesh-backed caches yield batch-sharded arrays; the rng must live on
+        # the same device set or jit rejects the mixed placement
+        rng = replicate(self.mesh, self._next_rng())
+        x, y = augment_batch(jnp.asarray(imgs), jnp.asarray(lbls), rng, num_classes=nc)
         x, y = shard_batch(self.mesh, x, y)
         step = self.train_steps[dataset]
         if self.teacher is not None and self.cfg.protocol in ("step2", "step3"):
@@ -316,6 +359,8 @@ class Trainer:
         for k in losses:
             if k in m:
                 losses[k].append(float(m[k]))
+        if self._train_evs is not None and "cm" in m:
+            self._train_evs[dataset].add_confusion(m["cm"])
 
     def evaluate(self, dataset: str, epoch: int) -> tuple[float, float]:
         """Returns (avg val loss, val mIoU) for one domain."""
@@ -350,7 +395,8 @@ class Trainer:
             stats = self.train_epoch(epoch)
             row = dict(epoch=epoch, **stats)
 
-            if epoch % cfg.eval_every == 0:
+            evaluated = epoch % cfg.eval_every == 0
+            if evaluated:
                 val_loss, val_iou = self.evaluate(cur_ds, epoch)
                 row[f"val_loss_{cur_ds}"] = val_loss
                 row[f"val_acc_{cur_ds}"] = val_iou
@@ -367,19 +413,34 @@ class Trainer:
                     row[f"val_loss_{d}"] = l
                     row[f"val_acc_{d}"] = i
 
+            # Only epochs that actually evaluated compete for "best" — the
+            # reference compares val-IoU epochs exclusively
+            # (train_RAPFT_step1.py:347-352); an uneval'd epoch must never
+            # shadow a real one with a -0.0 score.
             if cfg.protocol == "multitask":
                 accs = [v for k, v in row.items() if k.startswith("val_acc_")]
-                current_acc = float(np.mean(accs)) if accs else -row.get("val_loss_" + cur_ds, 0.0)
+                current_acc = (float(np.mean(accs)) if accs
+                               else (-val_loss if evaluated else None))
             else:
-                current_acc = val_iou if val_iou != 0 else -val_loss
-            is_best = current_acc > self.best_acc
-            self.best_acc = max(self.best_acc, current_acc)
+                current_acc = ((val_iou if val_iou != 0 else -val_loss)
+                               if evaluated else None)
+            is_best = current_acc is not None and current_acc > self.best_acc
+            if is_best:
+                self.best_acc = current_acc
+
+            # actual optimizer lrs this epoch (poly_lr_factor in optim.py);
+            # the automated_log column carries the DS/current group lr — the
+            # last param group, which is what the reference's usedLr loop
+            # ends on (train_RAPFT_step1.py:274-276)
+            poly = float((1.0 - (epoch - 1) / cfg.num_epochs) ** 0.9)
+            row["lr_ds"] = cfg.lr * poly
+            row["lr_shared"] = cfg.shared_lr_value() * poly
 
             self.logger.log(row)
             self.logger.automated_log_row(
                 epoch, row.get("train_loss", 0.0), row.get(f"val_loss_{cur_ds}", 0.0),
-                0.0, row.get(f"val_acc_{cur_ds}", 0.0),
-                float(cfg.lr * (1 - (epoch - 1) / cfg.num_epochs) ** 0.9),
+                row.get("train_iou", 0.0), row.get(f"val_acc_{cur_ds}", 0.0),
+                row["lr_ds"],
             )
             orbax_io.save(os.path.join(cfg.savedir, "ckpt"), epoch, self.ts,
                           best_acc=self.best_acc, rng=self.rng)

@@ -70,6 +70,17 @@ def _split(rng, n: int):
     return list(jax.random.split(rng, n))
 
 
+def _train_cm(logits, labels, num_classes: int):
+    """Confusion matrix of the training batch from the already-computed
+    current-task logits (the reference's --iouTrain,
+    train_RAPFT_step1.py:269-317) — fused into the train step, no extra
+    forward."""
+    preds = unpack_subpixel(
+        jnp.argmax(jax.lax.stop_gradient(logits), axis=-1).astype(jnp.int32)
+    )
+    return confusion_matrix(preds, labels, num_classes=num_classes)
+
+
 def make_ce_step(
     apply_fn: ApplyFn,
     *,
@@ -78,12 +89,14 @@ def make_ce_step(
     lr_tree,
     num_epochs: int,
     weight_decay: float = 1e-4,
+    iou_train: bool = False,
 ):
     """Plain weighted-CE training step (step 1 / multi-task domain turn / FT).
 
     step(ts, images, labels, masks, rng, epoch) -> (ts', metrics)
     `masks` are host-generated dropout masks (topology.make_dropout_masks) or
     None (falls back to in-program RNG — slow on the axon runtime).
+    `iou_train` adds the batch confusion matrix to metrics ("cm").
     """
     class_weight = _host_const(class_weight)
 
@@ -95,14 +108,17 @@ def make_ce_step(
                 p, ts.bn, images, task, training=True, rng=rng, drop_masks=masks,
                 packed_head=True,
             )
-            return weighted_cross_entropy(logits, labels_p, class_weight), new_bn
+            return weighted_cross_entropy(logits, labels_p, class_weight), (new_bn, logits)
 
-        (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params)
+        (loss, (new_bn, logits)), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params)
         new_p, new_opt = apply_updates(
             ts.params, grads, ts.opt, lr_tree,
             lr_scale=poly_lr_factor(epoch, num_epochs), weight_decay=weight_decay,
         )
-        return TrainState(new_p, new_bn, new_opt), {"loss": loss, "ce": loss}
+        metrics = {"loss": loss, "ce": loss}
+        if iou_train:
+            metrics["cm"] = _train_cm(logits, labels, len(class_weight))
+        return TrainState(new_p, new_bn, new_opt), metrics
 
     return step
 
@@ -119,6 +135,8 @@ def make_distill_step(
     kld_fn=kld_faithful,
     weight_decay: float = 1e-4,
     remat_prev: bool = True,
+    iou_train: bool = False,
+    teacher_apply_fn: ApplyFn | None = None,
 ):
     """Single-backward distillation step (the proposed method's step 2; also
     the fused fast path for step 3): total = CE + lambda_c * sum KLD_prev
@@ -128,9 +146,15 @@ def make_distill_step(
     activations are recomputed in the backward pass instead of stored, cutting
     peak HBM by roughly one forward per previous task (numerically identical).
 
+    `teacher_apply_fn` may override the forward used for the frozen teacher —
+    it runs in eval mode under stop_gradient, so the fused inference kernels
+    (ops/pallas/nb1d.py) are safe there even when the student needs the
+    autodiff-able path.
+
     step(ts, teacher, images, labels, rng, epoch) -> (ts', metrics)
     """
     class_weight = _host_const(class_weight)
+    t_apply = teacher_apply_fn or apply_fn
 
     def step(ts: TrainState, teacher: ModelState, images, labels, masks, rng, epoch):
         rngs = _split(rng, 1 + len(prev_tasks))
@@ -152,17 +176,20 @@ def make_distill_step(
                 if remat_prev:
                     prev_fwd = jax.checkpoint(prev_fwd)
                 s_logits, bn = prev_fwd(p, bn, images, rngs[1 + i], mask_list[1 + i])
-                t_logits, _ = apply_fn(teacher.params, teacher.bn, images, t, training=False,
-                                       packed_head=True)
+                t_logits, _ = t_apply(teacher.params, teacher.bn, images, t, training=False,
+                                      packed_head=True)
                 kld = kld + kld_fn(s_logits, jax.lax.stop_gradient(t_logits))
-            return ce + lambda_c * kld, (bn, ce, kld)
+            return ce + lambda_c * kld, (bn, ce, kld, logits)
 
-        (total, (new_bn, ce, kld)), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params)
+        (total, (new_bn, ce, kld, logits)), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params)
         new_p, new_opt = apply_updates(
             ts.params, grads, ts.opt, lr_tree,
             lr_scale=poly_lr_factor(epoch, num_epochs), weight_decay=weight_decay,
         )
-        return TrainState(new_p, new_bn, new_opt), {"loss": total, "ce": ce, "kld": kld}
+        metrics = {"loss": total, "ce": ce, "kld": kld}
+        if iou_train:
+            metrics["cm"] = _train_cm(logits, labels, len(class_weight))
+        return TrainState(new_p, new_bn, new_opt), metrics
 
     return step
 
@@ -178,6 +205,8 @@ def make_two_phase_distill_step(
     lambda_c: float = 0.1,
     kld_fn=kld_faithful,
     weight_decay: float = 1e-4,
+    iou_train: bool = False,
+    teacher_apply_fn: ApplyFn | None = None,
 ):
     """Faithful step-3 trajectory: backward+Adam on CE, then backward+Adam on
     lambda_c * (sum of previous-task KLDs) against the updated weights —
@@ -186,6 +215,7 @@ def make_two_phase_distill_step(
     step(ts, teacher, images, labels, rng, epoch) -> (ts', metrics)
     """
     class_weight = _host_const(class_weight)
+    t_apply = teacher_apply_fn or apply_fn
 
     def step(ts: TrainState, teacher: ModelState, images, labels, masks, rng, epoch):
         rngs = _split(rng, 1 + len(prev_tasks))
@@ -199,9 +229,9 @@ def make_two_phase_distill_step(
                 p, ts.bn, images, current_task, training=True, rng=rngs[0], drop_masks=mask_list[0],
                 packed_head=True,
             )
-            return weighted_cross_entropy(logits, labels_p, class_weight), bn
+            return weighted_cross_entropy(logits, labels_p, class_weight), (bn, logits)
 
-        (ce, bn1), g1 = jax.value_and_grad(ce_loss, has_aux=True)(ts.params)
+        (ce, (bn1, logits)), g1 = jax.value_and_grad(ce_loss, has_aux=True)(ts.params)
         p1, opt1 = apply_updates(
             ts.params, g1, ts.opt, lr_tree, lr_scale=lr_scale, weight_decay=weight_decay
         )
@@ -216,8 +246,8 @@ def make_two_phase_distill_step(
                     )
                 )
                 s_logits, bn = prev_fwd(p, bn, images, rngs[1 + i], mask_list[1 + i])
-                t_logits, _ = apply_fn(teacher.params, teacher.bn, images, t, training=False,
-                                       packed_head=True)
+                t_logits, _ = t_apply(teacher.params, teacher.bn, images, t, training=False,
+                                      packed_head=True)
                 kld = kld + kld_fn(s_logits, jax.lax.stop_gradient(t_logits))
             return lambda_c * kld, (bn, kld)
 
@@ -225,7 +255,10 @@ def make_two_phase_distill_step(
         p2, opt2 = apply_updates(
             p1, g2, opt1, lr_tree, lr_scale=lr_scale, weight_decay=weight_decay
         )
-        return TrainState(p2, bn2, opt2), {"loss": ce + kd, "ce": ce, "kld": kld}
+        metrics = {"loss": ce + kd, "ce": ce, "kld": kld}
+        if iou_train:
+            metrics["cm"] = _train_cm(logits, labels, len(class_weight))
+        return TrainState(p2, bn2, opt2), metrics
 
     return step
 

@@ -127,6 +127,33 @@ def test_singletask_trainer(tmp_path):
     assert enc_moved and dec_moved
 
 
+def test_uneval_epoch_never_best(tmp_path):
+    """With eval_every=2 only evaluated epochs may write best/ — an
+    uneval'd epoch's -0.0 placeholder must not win (reference compares
+    val-IoU epochs only, train_RAPFT_step1.py:347-352)."""
+    cfg = C.step1(num_epochs=3, eval_every=2, savedir=str(tmp_path / "run"), **TINY)
+    tr = build_trainer(cfg)
+    tr.fit()
+    best_txt = open(tmp_path / "run" / "best.txt").read()
+    assert "Best epoch is 2" in best_txt, best_txt
+    _, epoch, _, _ = orbax_io.restore(
+        str(tmp_path / "run" / "best"), tr.ts
+    )
+    assert epoch == 2
+
+
+def test_iou_train_column(tmp_path):
+    """--iou-train fills the automated_log Train-IoU column from the fused
+    in-step confusion matrix (reference --iouTrain, train_RAPFT_step1.py:311)."""
+    cfg = C.step1(num_epochs=1, iou_train=True, savedir=str(tmp_path / "run"), **TINY)
+    tr = build_trainer(cfg)
+    final = tr.fit()
+    assert 0.0 <= final["train_iou"] <= 1.0
+    row = open(tmp_path / "run" / "automated_log.txt").read().strip().splitlines()[-1]
+    train_iou = float(row.split("\t\t")[3])
+    assert train_iou == pytest.approx(final["train_iou"], abs=1e-4)
+
+
 def test_profiler_trace_written(tmp_path):
     cfg = C.step1(num_epochs=1, savedir=str(tmp_path / "run"),
                   profile_dir=str(tmp_path / "trace"), profile_steps=1, **TINY)
