@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from . import config as C
@@ -38,6 +39,8 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--kld", choices=("faithful", "corrected"), default="faithful")
     p.add_argument("--num-workers", type=int, default=8)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--iou-train", action="store_true",
+                   help="compute train IoU in the train step (reference --iouTrain)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--remat", action="store_true")
     p.add_argument("--fused-train", action="store_true",
@@ -49,6 +52,10 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--synthetic-size", type=int, default=24)
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of a few train steps here")
+    p.add_argument("--compilation-cache", default="~/.cache/mdilss_tpu/xla",
+                   metavar="DIR|off",
+                   help="persistent XLA compilation cache (keyed by HLO hash; "
+                        "'off' disables). Makes restarts/resumes compile-free.")
     p.add_argument(
         "--data-root", action="append", default=[], metavar="NAME=PATH",
         help="dataset root, e.g. --data-root cityscapes=/data/cs (repeatable)",
@@ -62,6 +69,7 @@ def _common_kwargs(args) -> dict:
         batch_size=args.batch_size, height=args.height, width=args.width,
         lr=args.lr, shared_lr=args.shared_lr, lambda_c=args.lambdac, kld=args.kld,
         num_workers=args.num_workers, resume=args.resume, seed=args.seed,
+        iou_train=args.iou_train,
         remat=args.remat, compute_dtype=args.dtype, synthetic=args.synthetic,
         fused_train=args.fused_train,
         device_cache="off" if args.no_device_cache else "auto",
@@ -102,6 +110,19 @@ def main(argv=None):
                     help="train only the new head (FE) instead of encoder+head (FT)")
     _add_common(pf)
 
+    pl = sub.add_parser(
+        "pipeline",
+        help="chain step1 -> step2 -> step3 through <savedir>/<stage>/best "
+             "(trainer_OURS.sh:49-63 as one command)",
+    )
+    pl.add_argument("--order", choices=("CS_BDD_IDD", "CS_IDD_BDD"), default="CS_BDD_IDD")
+    pl.add_argument("--pretrained-encoder", help="ImageNet encoder .pth.tar for step 1")
+    pl.add_argument("--with-baselines", action="store_true",
+                    help="also run the ft chain and joint multitask baselines")
+    pl.add_argument("--stages", nargs="+", default=["step1", "step2", "step3"],
+                    choices=("step1", "step2", "step3"))
+    _add_common(pl)
+
     pe = sub.add_parser("eval", help="evaluate a checkpoint per domain")
     pe.add_argument("ckpt")
     pe.add_argument("--kind", choices=("rap", "erfnet", "multi_task", "ftp1", "ftp2"), default="rap")
@@ -112,6 +133,12 @@ def main(argv=None):
     pe.add_argument("--width", type=int, default=1024)
     pe.add_argument("--synthetic", action="store_true")
     pe.add_argument("--data-root", action="append", default=[], metavar="NAME=PATH")
+    pe.add_argument("--expect", metavar="SETTING", default=None,
+                    help="compare against the reference record "
+                         "(expected_miou.json, e.g. step3_CS_BDD_IDD); exits "
+                         "nonzero when any domain deviates beyond --expect-tol")
+    pe.add_argument("--expect-tol", type=float, default=0.5,
+                    help="tolerance in mIoU percentage points (default 0.5)")
 
     def _add_analysis_common(p):
         p.add_argument("ckpt")
@@ -163,6 +190,8 @@ def main(argv=None):
     pc.add_argument("--export", action="store_true",
                     help="reverse direction: Orbax dir -> reference-format .pth.tar")
 
+    pb = sub.add_parser("bench", help="throughput benchmark (one JSON line; bench.py)")
+
     args = parser.parse_args(argv)
 
     if getattr(args, "platform", None):
@@ -170,8 +199,33 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", args.platform)
 
+    cc = getattr(args, "compilation_cache", None)
+    if cc and cc != "off":
+        import os as _os
+
+        import jax
+
+        cc_dir = _os.path.expanduser(cc)
+        _os.makedirs(cc_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cc_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    if args.cmd == "bench":
+        import importlib.util as _ilu
+
+        bench_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"
+        )
+        if not os.path.exists(bench_path):
+            raise SystemExit("bench.py not found next to the package (repo checkout only)")
+        spec = _ilu.spec_from_file_location("mdilss_bench", bench_path)
+        mod = _ilu.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.main()
+        return
+
     if args.cmd == "eval":
-        from .evaluate import evaluate_checkpoint
+        from .evaluate import check_expected, evaluate_checkpoint
 
         roots = dict(kv.split("=", 1) for kv in args.data_root)
         results = evaluate_checkpoint(
@@ -181,6 +235,13 @@ def main(argv=None):
             synthetic=args.synthetic,
         )
         print(json.dumps({k: round(v, 4) for k, v in results.items()}))
+        if args.expect:
+            ok, report = check_expected(
+                results, args.expect, tolerance_points=args.expect_tol
+            )
+            print(report)
+            if not ok:
+                raise SystemExit(1)
         return
 
     if args.cmd in ("tsne", "predict"):
@@ -280,6 +341,21 @@ def main(argv=None):
     from .train.protocols import build_trainer
 
     kw = _common_kwargs(args)
+    if args.cmd == "pipeline":
+        from .train.pipeline import run_pipeline
+
+        savedir = kw.pop("savedir")
+        state = kw.pop("state")
+        results = run_pipeline(
+            order=args.order, savedir=savedir, common=kw, state=state,
+            pretrained_encoder=args.pretrained_encoder,
+            with_baselines=args.with_baselines, stages=tuple(args.stages),
+        )
+        print(json.dumps({
+            stage: {k: v for k, v in row.items() if isinstance(v, (int, float))}
+            for stage, row in results.items()
+        }))
+        return
     if args.cmd == "step1":
         cfg = C.step1(pretrained_encoder=args.pretrained_encoder, **kw)
     elif args.cmd == "step2":

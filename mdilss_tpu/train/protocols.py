@@ -35,13 +35,31 @@ from .loop import Trainer
 
 
 def _load_params(path: str, *, kind: str, nb_tasks: int, num_classes, seed=0):
-    """Load (params, bn) from a .pth.tar or an Orbax checkpoint directory."""
+    """Load (params, bn) from a .pth.tar or an Orbax checkpoint directory.
+
+    Every model kind round-trips through this framework's own Orbax runs
+    (<savedir>/best), so e.g. an ft 2-head run can seed a 3-head step-3 chain
+    without passing through the torch format
+    (main_FT2_flexible_new.py:200-213 chained .pth.tar files)."""
     if os.path.isdir(path):
-        if kind != "rap":
-            raise ValueError("orbax restore currently supports the RAP model")
-        template_p, template_b = erfnet_rap.init(jax.random.key(seed), list(num_classes), nb_tasks)
+        if kind == "rap":
+            template_p, template_b = erfnet_rap.init(
+                jax.random.key(seed), list(num_classes), nb_tasks
+            )
+        else:
+            # erfnet / ftp1 / ftp2 / multi_task runs all checkpoint the
+            # shared-encoder multi-head pytree ({encoder, decoders:[...]})
+            template_p, template_b = erfnet_multihead.init(
+                jax.random.key(seed), list(num_classes)
+            )
         ts, *_ = orbax_io.restore(path, steps.init_train_state(template_p, template_b))
-        return ts.params, ts.bn
+        params, bn = ts.params, ts.bn
+        if kind == "erfnet":
+            # callers of the single-task kind expect the erfnet layout
+            # ({encoder, decoder}); our own singletask runs store one head
+            params = {"encoder": params["encoder"], "decoder": params["decoders"][0]}
+            bn = {"encoder": bn["encoder"], "decoder": bn["decoders"][0]}
+        return params, bn
     sd = load_pth_tar(path)
     return convert_state_dict(sd, kind=kind, nb_tasks=nb_tasks)
 
@@ -61,7 +79,12 @@ def build_trainer(cfg: TrainConfig) -> Trainer:
 def _build_step1(cfg: TrainConfig) -> Trainer:
     params, bn = erfnet_rap.init(jax.random.key(cfg.seed), list(cfg.num_classes), 1)
     src = cfg.pretrained_encoder or cfg.state
-    if src:
+    if src and os.path.isdir(src):
+        # full Orbax checkpoint of a 1-task RAP run (e.g. a pipeline rerun)
+        params, bn = _load_params(
+            src, kind="rap", nb_tasks=1, num_classes=cfg.num_classes, seed=cfg.seed
+        )
+    elif src:
         sd = load_pth_tar(src)
         params, bn = load_imagenet_encoder(params, bn, sd, kind="rap")
     return Trainer(cfg, init_params=params, init_bn=bn)
