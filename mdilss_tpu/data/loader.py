@@ -48,6 +48,32 @@ class SyntheticSource:
         return img, lbl
 
 
+class LearnableSource(SyntheticSource):
+    """Synthetic data with a LEARNABLE pixel->class mapping (labels are a
+    deterministic function of image content), for metric-level convergence
+    tests: a correct trainer drives val mIoU well above chance in a few
+    epochs, while a wrong loss / wrong freeze mask / broken label remap
+    keeps it at noise level. SyntheticSource's labels are pure noise and can
+    only test mechanics, not learning.
+
+    Images are spatially-coherent color patches (low-res random grid,
+    nearest-upsampled); the label of a pixel is its red-channel value
+    quantized into num_classes-1 bins (the last class stays the ignore
+    class, like real data), plus a 5% sprinkle of ignore pixels.
+    """
+
+    def decode(self, idx: int, height: int, width: int):
+        rng = np.random.default_rng(self._seed * 100003 + idx)
+        gh, gw = max(height // 8, 1), max(width // 8, 1)
+        grid = rng.integers(0, 256, size=(gh, gw, 3), dtype=np.uint8)
+        img = np.repeat(np.repeat(grid, height // gh, 0), width // gw, 1)
+        img = img[:height, :width]
+        n_real = self.num_classes - 1
+        lbl = (img[:, :, 0].astype(np.int32) * n_real // 256).astype(np.uint8)
+        lbl[rng.random((height, width)) < 0.05] = 255
+        return img, lbl
+
+
 def device_prefetch(iterator, *, depth: int = 2, put=None):
     """Overlap host->device transfer with device compute.
 

@@ -32,6 +32,46 @@ _MODEL = {
 }
 
 
+def load_expected(setting: str) -> dict[str, float]:
+    """Reference-recorded mIoU for one setting (expected_miou.json — the
+    Evaluation notebook's executed outputs, cells 8-22)."""
+    import json
+
+    path = os.path.join(os.path.dirname(__file__), "expected_miou.json")
+    with open(path) as f:
+        table = json.load(f)
+    if setting not in table:
+        known = [k for k in table if not k.startswith("_")]
+        raise KeyError(f"unknown setting {setting!r}; known: {known}")
+    return {k: v for k, v in table[setting].items() if not k.startswith("_")}
+
+
+def check_expected(
+    results: dict[str, float], setting: str, *, tolerance_points: float = 0.5
+) -> tuple[bool, str]:
+    """Compare measured per-domain mIoU against the reference record.
+
+    `tolerance_points` is in mIoU percentage points (the north-star target:
+    within 0.5 of the paper/notebook numbers, BASELINE.md). Returns
+    (ok, human-readable report)."""
+    expected = load_expected(setting)
+    lines, ok = [], True
+    for d, exp in expected.items():
+        if d not in results:
+            lines.append(f"{d}: expected {exp * 100:.2f} but not evaluated")
+            ok = False
+            continue
+        got = results[d]
+        delta = (got - exp) * 100
+        within = abs(delta) <= tolerance_points
+        ok = ok and within
+        lines.append(
+            f"{d}: got {got * 100:.2f} expected {exp * 100:.2f} "
+            f"(delta {delta:+.2f} pts) {'OK' if within else 'FAIL'}"
+        )
+    return ok, "\n".join(lines)
+
+
 def load_checkpoint(path: str, *, kind: str, num_classes: Sequence[int]):
     """Returns (apply_fn(params,bn,x,task,...), params, bn)."""
     mod, is_rap = _MODEL[kind]

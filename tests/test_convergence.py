@@ -1,0 +1,45 @@
+"""Metric-level convergence gate (SURVEY.md §4; VERDICT round-1 item 3).
+
+Real CS/BDD/IDD data and released checkpoints are not fetchable in this
+environment, so this is the in-CI stand-in for "mIoU within 0.5 of the paper":
+a deterministic synthetic set whose labels are a learnable function of the
+pixels (data/loader.py LearnableSource). A correct trainer (right loss, right
+freeze masks, right label remap, right metric) drives val mIoU far above
+chance within a few epochs; regressions that silently break learning — wrong
+CE weighting, frozen-everything masks, label off-by-one, BN running-stat
+corruption — keep it near the noise floor (~0.10-0.14 mIoU here) and fail at
+the METRIC level, not just the gradient level.
+
+Calibration (this exact config, seed 0, CPU): step1 reaches 0.245 @ epoch 20,
+0.525 @ 40, 0.703 @ 60. The gate (0.40) sits ~3x above the broken-trainer
+floor and well under the healthy trajectory, so it is robust to backend noise
+while still failing anything that stops learning.
+"""
+import numpy as np
+
+from mdilss_tpu import config as C
+from mdilss_tpu.train.protocols import build_trainer
+
+LEARN = dict(synthetic=True, synthetic_kind="learnable", synthetic_size=16,
+             batch_size=4, height=64, width=128, num_workers=2, lr=2e-3,
+             device_cache="off", seed=0)
+
+
+def test_step1_converges_to_pinned_miou(tmp_path):
+    cfg = C.step1(num_epochs=60, eval_every=20, savedir=str(tmp_path / "run"),
+                  num_classes=(6,), **LEARN)
+    tr = build_trainer(cfg)
+    tr.fit()
+    assert tr.best_acc >= 0.40, f"val mIoU {tr.best_acc:.4f} below convergence gate"
+
+
+def test_step2_distill_converges(tmp_path):
+    """The distillation step must still learn the new task through its DS
+    adapters + decoder (shared encoder near-frozen at lr/100), with a finite
+    KLD term — a frozen-everything or exploding-KLD regression fails here."""
+    cfg = C.step2(num_epochs=60, eval_every=20, eval_old_every=60,
+                  savedir=str(tmp_path / "run"), num_classes=(6, 6), **LEARN)
+    tr = build_trainer(cfg)
+    final = tr.fit()
+    assert tr.best_acc >= 0.30, f"val mIoU {tr.best_acc:.4f} below convergence gate"
+    assert np.isfinite(final["train_kld"])
