@@ -17,6 +17,13 @@ import jax
 # backend before this file runs; the config update below wins regardless.
 jax.config.update("jax_platforms", "cpu")
 
+# The suite is COMPILE-bound on small hosts (tiny tensors, big programs); a
+# persistent XLA cache makes reruns compile-free. Keyed by HLO hash, so
+# stale entries are impossible; delete the dir to force cold compiles.
+os.makedirs("/tmp/mdilss_xla_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/mdilss_xla_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np
 import pytest
 

@@ -120,6 +120,77 @@ def test_sharded_eval_confusion_matrix(setup):
     assert np.asarray(cm).sum() == labels.size  # every pixel counted once
 
 
+def test_sharded_two_phase_distill_step(setup):
+    """The faithful step-3 protocol (2 optimizer steps/batch, 5 forwards)
+    compiles and runs under the full data x spatial mesh."""
+    mesh = make_mesh(8, spatial=2)
+    s_params, s_bn = erfnet_rap.init(jax.random.key(0), [6, 6, 6], 3)
+    t_params, t_bn = erfnet_rap.init(jax.random.key(1), [6, 6], 2)
+    lr_tree = masks.rap_lr_tree(s_params, current_task=2, shared_lr=5e-6, ds_lr=5e-4)
+    w = np.ones(6, np.float32)
+    step = steps.make_two_phase_distill_step(
+        erfnet_rap.apply, current_task=2, prev_tasks=(1, 0),
+        class_weight=w, lr_tree=lr_tree, num_epochs=10,
+    )
+    sharded = jit_distill_step(step, mesh)
+    ts = replicate(mesh, steps.init_train_state(s_params, s_bn))
+    teacher = replicate(mesh, steps.ModelState(t_params, t_bn))
+    rng = np.random.default_rng(4)
+    x, y = shard_batch(
+        mesh,
+        rng.random((8, 32, 64, 3), np.float32),
+        rng.integers(0, 6, size=(8, 32, 64)).astype(np.int32),
+    )
+    ts, m = sharded(ts, teacher, x, y, None, jax.random.key(5), 1)
+    assert np.isfinite(float(m["loss"]))
+    assert int(ts.opt.count) == 2  # two Adam steps per batch
+
+
+def test_device_cache_sharded_on_mesh():
+    """Mesh-backed DeviceCache: rows shard over the data axis, gathers come
+    out batch-sharded, and batch contents equal the streaming loader's."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mdilss_tpu.data.device_cache import DeviceCache
+    from mdilss_tpu.data.loader import Loader, SyntheticSource
+
+    mesh = make_mesh(8, spatial=2)
+    src = SyntheticSource(6, n=10, height=32, width=64)  # N % data(4) != 0 -> pads
+    ld = Loader(src, batch_size=4, height=32, width=64, shuffle=True, num_threads=2)
+    cache = DeviceCache(ld, mesh=mesh)
+    assert cache.images.sharding.is_equivalent_to(
+        NamedSharding(mesh, P("data")), cache.images.ndim
+    )
+    ld.set_epoch(2)
+    streamed = list(ld)
+    cached = list(cache.epoch_batches(2))
+    assert len(streamed) == len(cached)
+    for (si, sl, _), (ci, cl, _) in zip(streamed, cached):
+        assert ci.sharding.is_equivalent_to(
+            NamedSharding(mesh, P("data", "spatial")), ci.ndim
+        )
+        np.testing.assert_array_equal(si, np.asarray(ci))
+        np.testing.assert_array_equal(sl, np.asarray(cl))
+
+
+def test_trainer_epoch_with_cache_on_mesh(tmp_path):
+    """Trainer end-to-end on the 8-device mesh with the device cache feeding
+    the (donating) jitted step — the cache+mesh interaction in one piece."""
+    from mdilss_tpu import config as C
+    from mdilss_tpu.train.protocols import build_trainer
+
+    cfg = C.step2(
+        num_epochs=1, savedir=str(tmp_path / "run"), synthetic=True,
+        synthetic_size=8, batch_size=8, height=32, width=64, num_workers=2,
+        device_cache="auto", spatial_shards=2,
+    )
+    tr = build_trainer(cfg)
+    assert tr.mesh.devices.size == 8  # data=4 x spatial=2
+    final = tr.fit()
+    assert np.isfinite(final["train_loss"])
+    assert tr._cache_for(cfg.datasets[1], "train") is not None  # cache engaged
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as g
 
