@@ -189,8 +189,20 @@ def main() -> None:
     # secondary: pure inference throughput (argmax masks), eval mode.
     # K forwards chained inside ONE jit: per-call dispatch through the device
     # tunnel costs ~20 ms and would otherwise dominate the measurement.
+    # Methodology notes (both matter; violating either inflated round-1's
+    # number to a physically impossible 2367 img/s = 780 TFLOP/s):
+    #   * DISTINCT device-resident inputs per call — the backend elides
+    #     repeated executions of an identical (executable, args) pair;
+    #   * sync EVERY result, not just the last — otherwise earlier chains
+    #     may still be queued when the clock stops.
     K_INNER = 10
 
+    # Measures the default XLA path (what evaluate.py serves). The Pallas
+    # fused-infer path (ops/pallas/nb1d.py) ties it within tunnel noise:
+    # interleaved same-process A/B medians 1884 (XLA) vs 1831 (fused) img/s
+    # with +-5% drift inside each arm — sequential A/Bs in different windows
+    # gave both "fused +17%" and "XLA +22%", so neither direction survives an
+    # interleaved rerun (see docs/DESIGN.md).
     @jax.jit
     def infer_chain(p, s, x):
         acc = jnp.int32(0)
@@ -199,13 +211,14 @@ def main() -> None:
             acc += jnp.argmax(logits, -1).sum().astype(jnp.int32)
         return acc
 
-    xb = jnp.asarray(host_batches[0][0], jnp.float32) / 255.0
-    int(infer_chain(ts.params, ts.bn, xb))
+    xs = [jnp.asarray(rng_np.random((batch, height, width, 3), np.float32))
+          for _ in range(4)]
+    int(infer_chain(ts.params, ts.bn, xs[0]))
+    reps = max(n_steps // K_INNER, 2)
     t0 = time.perf_counter()
-    reps = max(n_steps // K_INNER, 1)
-    for _ in range(reps):
-        acc = infer_chain(ts.params, ts.bn, xb)
-    int(acc)
+    accs = [infer_chain(ts.params, ts.bn, xs[r % len(xs)]) for r in range(reps)]
+    for a in accs:
+        int(a)
     infer_ips = batch * reps * K_INNER / (time.perf_counter() - t0)
 
     result = {
@@ -217,6 +230,8 @@ def main() -> None:
         "extras": {
             "host_streamed_train_images_per_sec": round(stream_ips, 2),
             "infer_images_per_sec_per_chip": round(infer_ips, 2),
+            "infer_path": "xla (pallas-fused path ties within noise: "
+                          "interleaved medians 1884 vs 1831 img/s)",
             "step_ms": round(1000 * dt / n_steps, 1),
             "baseline_img_per_sec_per_gpu": round(BASELINE_IMG_PER_SEC_PER_GPU, 2),
             "baseline_source": "README.md:14 35h midpoint, 2x1080Ti, 150ep x 7000 imgs",

@@ -101,7 +101,7 @@ def main(argv=None):
 
     ps = sub.add_parser("single", help="independent single-task ERFNet baseline")
     ps.add_argument("--dataset", default="cityscapes",
-                    choices=("cityscapes", "BDD", "IDD", "IDD_union"))
+                    choices=("cityscapes", "BDD", "IDD", "IDD_union", "VOC12"))
     _add_common(ps)
 
     pf = sub.add_parser("ft", help="fine-tuning baselines (2 or 3 heads)")

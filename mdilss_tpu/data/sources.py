@@ -29,7 +29,9 @@ import numpy as np
 
 IMAGE_EXTENSIONS = (".jpg", ".png")
 
-DATASET_NUM_CLASSES = {"cityscapes": 20, "BDD": 20, "IDD": 27, "IDD_union": 28}
+DATASET_NUM_CLASSES = {
+    "cityscapes": 20, "BDD": 20, "IDD": 27, "IDD_union": 28, "VOC12": 21,
+}
 
 # IDD level3 -> 28-class union space (dataset.py:173-174)
 IDD_UNION_MAP = {

@@ -302,6 +302,7 @@ class Trainer:
              for t, d in enumerate(cfg.datasets)}
             if cfg.iou_train else None
         )
+        self._train_cms = {d: [] for d in cfg.datasets}
         from ..data.loader import device_prefetch
 
         def batches(d):
@@ -324,10 +325,14 @@ class Trainer:
             d = cfg.datasets[cur]
             for imgs, lbls, _ in batches(d):
                 self._one_batch(d, cur, imgs, lbls, epoch, losses)
-        out = {f"train_{k}": float(np.mean(v)) for k, v in losses.items() if v}
+        # drain the epoch's device scalars in one pass (see _one_batch)
+        out = {f"train_{k}": float(np.mean([float(x) for x in v]))
+               for k, v in losses.items() if v}
         if self._train_evs is not None:
             ious = []
             for d, ev in self._train_evs.items():
+                for cm in self._train_cms[d]:
+                    ev.add_confusion(cm)
                 if np.sum(ev._cm) == 0:
                     continue
                 iou, _ = ev.get_iou()
@@ -356,11 +361,19 @@ class Trainer:
         else:
             masks = make_dropout_masks(self._np_rng, x.shape[0])
             self.ts, m = step(self.ts, x, y, masks, self._next_rng(), epoch)
+        # keep device scalars; fetching here (float()) would sync the host
+        # to the device EVERY batch and serialize dispatch through the
+        # (high-latency) device link — epoch end converts them in one drain
         for k in losses:
             if k in m:
-                losses[k].append(float(m[k]))
+                losses[k].append(m[k])
         if self._train_evs is not None and "cm" in m:
-            self._train_evs[dataset].add_confusion(m["cm"])
+            self._train_cms[dataset].append(m["cm"])
+        # bounded pipeline: sync every 16 steps so in-flight input batches
+        # (gather/augment outputs awaiting their step) can't pile up in HBM
+        self._step_count = getattr(self, "_step_count", 0) + 1
+        if self._step_count % 16 == 0 and "loss" in m:
+            float(m["loss"])
 
     def evaluate(self, dataset: str, epoch: int) -> tuple[float, float]:
         """Returns (avg val loss, val mIoU) for one domain."""
