@@ -91,7 +91,7 @@ def main() -> None:
         nonlocal key
         key, k_aug, k_drop = jax.random.split(key, 3)
         imgs, lbls = batch_pair
-        x, y = augment_batch(imgs, lbls, k_aug, num_classes=C)
+        x, y = augment_batch(imgs, lbls, k_aug, num_classes=C, out_dtype=dtype)
         masks = [make_dropout_masks(mask_rng, batch) for _ in range(2)]
         ts, m = step(ts, teacher, x, y, masks, k_drop, 1)
         return ts, m
@@ -168,7 +168,7 @@ def main() -> None:
         nonlocal key
         key, k_aug, k_drop = jax.random.split(key, 3)
         imgs, lbls = batch_pair
-        x, y = augment_batch(imgs, lbls, k_aug, num_classes=C3)
+        x, y = augment_batch(imgs, lbls, k_aug, num_classes=C3, out_dtype=dtype)
         masks3 = [make_dropout_masks(mask_rng, batch) for _ in range(3)]
         ts3, m = step3(ts3, teacher3, x, y, masks3, k_drop, 1)
         return ts3, m

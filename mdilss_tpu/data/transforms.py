@@ -109,13 +109,17 @@ def _translate2d(x: jax.Array, tx: jax.Array, ty: jax.Array, fill_pos: jax.Array
     return jnp.where(border_neg, jnp.asarray(0, x.dtype), out)
 
 
-@partial(jax.jit, static_argnames=("num_classes",))
-def augment_batch(images_u8, labels_u8, rng, *, num_classes: int):
+@partial(jax.jit, static_argnames=("num_classes", "out_dtype"))
+def augment_batch(images_u8, labels_u8, rng, *, num_classes: int,
+                  out_dtype=jnp.float32):
     """Train-time augment on device: hflip p=.5, translate +-2px, /255,
     relabel 255 -> num_classes-1.
 
     images_u8 [N,H,W,3] uint8, labels_u8 [N,H,W] uint8.
-    Returns (images f32 in [0,1], labels int32).
+    Returns (images in [0,1], labels int32). `out_dtype` sets the image
+    output dtype: a bf16 trainer passes bf16 so this jit writes half the
+    bytes and the step's own input cast becomes a no-op — values are
+    identical to casting later (the divide still runs in f32, then rounds).
     """
     n = images_u8.shape[0]
     k_flip, k_tx, k_ty = jax.random.split(rng, 3)
@@ -127,7 +131,7 @@ def augment_batch(images_u8, labels_u8, rng, *, num_classes: int):
     lbls = jnp.where(flip[:, None, None], labels_u8[:, :, ::-1], labels_u8)
     imgs = jax.vmap(lambda x, a, b: _translate2d(x, a, b, 0))(imgs, tx, ty)
     lbls = jax.vmap(lambda x, a, b: _translate2d(x, a, b, 255))(lbls, tx, ty)
-    return _finalize(imgs, lbls, num_classes)
+    return _finalize(imgs, lbls, num_classes, out_dtype)
 
 
 @partial(jax.jit, static_argnames=("num_classes",))
@@ -136,8 +140,8 @@ def prepare_batch(images_u8, labels_u8, *, num_classes: int):
     return _finalize(images_u8, labels_u8, num_classes)
 
 
-def _finalize(imgs_u8, lbls_u8, num_classes: int):
-    images = imgs_u8.astype(jnp.float32) / 255.0
+def _finalize(imgs_u8, lbls_u8, num_classes: int, out_dtype=jnp.float32):
+    images = (imgs_u8.astype(jnp.float32) / 255.0).astype(out_dtype)
     labels = lbls_u8.astype(jnp.int32)
     labels = jnp.where(labels == 255, num_classes - 1, labels)
     return images, labels

@@ -19,7 +19,7 @@ def init(rng, num_classes: int = 20, dtype=jnp.float32):
     return {"encoder": enc_p, "decoder": dec_p}, {"encoder": enc_s, "decoder": dec_s}
 
 
-def apply(params, state, x, *, training: bool = False, rng=None, remat: bool = False, fused_infer: bool = False, drop_masks=None, return_features: bool = False, packed_head: bool = False, fused_train: bool = False):
+def apply(params, state, x, *, training: bool = False, rng=None, remat: bool = False, fused_infer: bool = False, drop_masks=None, return_features: bool = False, packed_head: bool = False, fused_train: bool = False, input_folded: bool = False):
     """x: [N, H, W, 3] -> logits [N, H, W, num_classes].
 
     `return_features=True` additionally returns {"encoder", "penultimate"}
@@ -27,7 +27,7 @@ def apply(params, state, x, *, training: bool = False, rng=None, remat: bool = F
     feats, enc_s = T.encoder_apply(
         params["encoder"], state["encoder"], x, rap=False, task=None,
         training=training, rng=rng, remat=remat, fused_infer=fused_infer,
-        drop_masks=drop_masks, fused_train=fused_train,
+        drop_masks=drop_masks, fused_train=fused_train, input_folded=input_folded,
     )
     dec_out = T.decoder_apply(
         params["decoder"], state["decoder"], feats, training=training,

@@ -34,13 +34,13 @@ def init(rng, num_classes: Sequence[int], dtype=jnp.float32):
     )
 
 
-def apply(params, state, x, task: int, *, training: bool = False, rng=None, remat: bool = False, fused_infer: bool = False, drop_masks=None, return_features: bool = False, packed_head: bool = False, fused_train: bool = False):
+def apply(params, state, x, task: int, *, training: bool = False, rng=None, remat: bool = False, fused_infer: bool = False, drop_masks=None, return_features: bool = False, packed_head: bool = False, fused_train: bool = False, input_folded: bool = False):
     """`return_features=True` additionally returns {"encoder", "penultimate"}
     latent features (the notebooks' `erfnet_ftp1_latent_space` variants)."""
     feats, enc_s = T.encoder_apply(
         params["encoder"], state["encoder"], x, rap=False, task=None,
         training=training, rng=rng, remat=remat, fused_infer=fused_infer,
-        drop_masks=drop_masks, fused_train=fused_train,
+        drop_masks=drop_masks, fused_train=fused_train, input_folded=input_folded,
     )
     dec_out = T.decoder_apply(
         params["decoders"][task], state["decoders"][task], feats,

@@ -35,7 +35,7 @@ def init(rng, num_classes: Sequence[int] = (20,), nb_tasks: int = 1, dtype=jnp.f
     )
 
 
-def apply(params, state, x, task: int, *, training: bool = False, rng=None, remat: bool = False, fused_infer: bool = False, drop_masks=None, return_features: bool = False, packed_head: bool = False, fused_train: bool = False):
+def apply(params, state, x, task: int, *, training: bool = False, rng=None, remat: bool = False, fused_infer: bool = False, drop_masks=None, return_features: bool = False, packed_head: bool = False, fused_train: bool = False, input_folded: bool = False):
     """x: [N, H, W, 3] -> logits [N, H, W, num_classes[task]].
 
     `task` must be a static Python int (selects adapters/BN slices and the
@@ -50,7 +50,7 @@ def apply(params, state, x, task: int, *, training: bool = False, rng=None, rema
     feats, enc_s = T.encoder_apply(
         params["encoder"], state["encoder"], x, rap=True, task=task,
         training=training, rng=rng, remat=remat, fused_infer=fused_infer,
-        drop_masks=drop_masks, fused_train=fused_train,
+        drop_masks=drop_masks, fused_train=fused_train, input_folded=input_folded,
     )
     dec_out = T.decoder_apply(
         params["decoders"][task], state["decoders"][task], feats,

@@ -156,7 +156,7 @@ def _group_masks(rng, shape, keep: float):
 def encoder_apply(
     params, state, x, *, rap: bool, task: int | None, training: bool, rng=None,
     remat: bool = False, fused_infer: bool = False, drop_masks: dict | None = None,
-    fused_train: bool = False,
+    fused_train: bool = False, input_folded: bool = False,
 ) -> tuple[Any, Any]:
     """Run the encoder. `task` must be a static int for RAP encoders.
 
@@ -164,11 +164,14 @@ def encoder_apply(
     kernel (folded BN, whole block in VMEM) instead of ~10 XLA ops.
     `fused_train=True` (training mode) runs each nb1d block through the fused
     Pallas conv-pair kernels with a custom VJP (ops/pallas/nb1d_train.py).
+    `input_folded=True` means x is `blocks.fold_input(raw)` — train steps fold
+    the batch once and share it across all their forwards.
     """
     fused = fused_infer and not training
     ftrain = fused_train and training
     r = list(jax.random.split(rng, 2)) if rng is not None else [None, None]
-    out, init_s = B.downsampler_apply(params["initial"], state["initial"], x, task=task, training=training)
+    out, init_s = B.downsampler_apply(params["initial"], state["initial"], x, task=task,
+                                      training=training, x_folded=input_folded)
     out, down1_s = B.downsampler_apply(params["down1"], state["down1"], out, task=task, training=training)
 
     def nb_apply(p, s, xin, dil, drop, mask):

@@ -351,7 +351,9 @@ class Trainer:
         # mesh-backed caches yield batch-sharded arrays; the rng must live on
         # the same device set or jit rejects the mixed placement
         rng = replicate(self.mesh, self._next_rng())
-        x, y = augment_batch(jnp.asarray(imgs), jnp.asarray(lbls), rng, num_classes=nc)
+        aug_dtype = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
+        x, y = augment_batch(jnp.asarray(imgs), jnp.asarray(lbls), rng,
+                             num_classes=nc, out_dtype=aug_dtype)
         x, y = shard_batch(self.mesh, x, y)
         step = self.train_steps[dataset]
         if self.teacher is not None and self.cfg.protocol in ("step2", "step3"):

@@ -253,6 +253,33 @@ def test_ce_step_loss_decreases():
     assert losses[-1] < losses[0] - 0.02, losses
 
 
+def test_folded_input_parity():
+    """The hoisted space-to-depth fold (steps._fold_images ->
+    apply(input_folded=True)) is numerically identical to handing the raw
+    batch to each forward — the fold is data movement only."""
+    from mdilss_tpu.models.blocks import fold_input
+
+    params, bn = erfnet_rap.init(jax.random.key(0), [6, 6], 2)
+    x = jax.random.normal(jax.random.key(1), (2, 32, 64, 3))
+    xf = fold_input(x)
+    assert xf.shape == (2, 16, 32, 12)
+
+    # training-mode forward: both routes use the s2d downsampler -> bit-equal
+    raw, _ = erfnet_rap.apply(params, bn, x, 1, training=True, rng=None)
+    fold, _ = erfnet_rap.apply(params, bn, xf, 1, training=True, rng=None,
+                               input_folded=True)
+    np.testing.assert_array_equal(np.asarray(raw), np.asarray(fold))
+
+    # eval-mode forward (the teacher inside a folded train step): the folded
+    # route takes the s2d form where the raw route uses conv+maxpool —
+    # same math, fp-level tolerance
+    raw_e, _ = erfnet_rap.apply(params, bn, x, 0, training=False)
+    fold_e, _ = erfnet_rap.apply(params, bn, xf, 0, training=False,
+                                 input_folded=True)
+    np.testing.assert_allclose(np.asarray(raw_e), np.asarray(fold_e),
+                               atol=2e-4, rtol=1e-4)
+
+
 def test_two_phase_step_applies_two_optimizer_updates():
     params, bn = erfnet_rap.init(jax.random.key(0), [6, 6, 8], 3)
     lr_tree = masks.rap_lr_tree(params, current_task=2, shared_lr=5e-6, ds_lr=5e-4)
