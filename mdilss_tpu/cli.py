@@ -97,11 +97,15 @@ def main(argv=None):
     _add_common(p3)
 
     pm = sub.add_parser("multitask", help="joint multi-task baseline")
+    pm.add_argument("--pretrained-encoder", help="ImageNet encoder .pth.tar "
+                    "(the reference passes it as --state, train_multi_task.py:414-423)")
     _add_common(pm)
 
     ps = sub.add_parser("single", help="independent single-task ERFNet baseline")
     ps.add_argument("--dataset", default="cityscapes",
                     choices=("cityscapes", "BDD", "IDD", "IDD_union", "VOC12"))
+    ps.add_argument("--pretrained-encoder", help="ImageNet encoder .pth.tar "
+                    "(main.py --pretrainedEncoder, trainer_single_task.sh:46)")
     _add_common(ps)
 
     pf = sub.add_parser("ft", help="fine-tuning baselines (2 or 3 heads)")
@@ -363,9 +367,10 @@ def main(argv=None):
     elif args.cmd == "step3":
         cfg = C.step3(order=args.order, two_phase=not args.single_phase, **kw)
     elif args.cmd == "multitask":
-        cfg = C.multitask(**kw)
+        cfg = C.multitask(pretrained_encoder=args.pretrained_encoder, **kw)
     elif args.cmd == "single":
-        cfg = C.singletask(dataset=args.dataset, **kw)
+        cfg = C.singletask(dataset=args.dataset,
+                           pretrained_encoder=args.pretrained_encoder, **kw)
     elif args.cmd == "ft":
         cfg = C.ft_step(n_heads=args.heads, finetune=not args.feature_extraction, **kw)
     else:

@@ -170,9 +170,15 @@ class Trainer:
         if dataset in CLASS_WEIGHTS and len(CLASS_WEIGHTS[dataset]) == nc:
             return CLASS_WEIGHTS[dataset]
         # non-standard class count (synthetic smoke runs) or no precomputed
-        # table (IDD_union / VOC12, unused by the reference's main flow —
-        # recompute via `python -m mdilss_tpu weights` for a real table):
+        # table (IDD_union / VOC12, unused by the reference's main flow):
         # uniform weights, ignore class zeroed
+        if dataset not in CLASS_WEIGHTS:
+            print(
+                f"note: no precomputed class-weight table for '{dataset}'; "
+                f"training with uniform weights (ignore class zeroed). "
+                f"Compute a real table with `python -m mdilss_tpu weights "
+                f"--dataset {dataset} ...` (cal_class_weights.py workflow)."
+            )
         w = np.ones(nc, np.float32)
         w[-1] = 0.0
         return w

@@ -84,9 +84,23 @@ def run_pipeline(
         ))
 
     if with_baselines:
-        # fine-tuning chain (ftp1 -> ftp2) and the joint multitask baseline,
-        # mirroring trainer_files/trainer_baselines.sh
-        ft2 = C.ft_step(n_heads=2, savedir=stage_dir("ft_step2"), **common)
+        # The reference's baseline chains: the fine-tuning chain starts from
+        # the single-task Cityscapes baseline's best checkpoint
+        # (trainer_fine_tune.sh:54 --state model_best_cityscapes_prenc),
+        # which itself — like the multitask baseline — starts from the
+        # ImageNet-pretrained encoder (trainer_single_task.sh:46,
+        # trainer_multi_task.sh:50).
+        single = C.singletask(
+            "cityscapes", savedir=stage_dir("single_cs"),
+            pretrained_encoder=pretrained_encoder, **common,
+        )
+        if not done("single_cs"):
+            print(f"[pipeline] single_cs: training -> {single.savedir}")
+            results["single_cs"] = build_trainer(single).fit()
+        ft2 = C.ft_step(
+            n_heads=2, savedir=stage_dir("ft_step2"),
+            state=os.path.join(stage_dir("single_cs"), "best"), **common,
+        )
         if not done("ft_step2"):
             print(f"[pipeline] ft_step2: training -> {ft2.savedir}")
             results["ft_step2"] = build_trainer(ft2).fit()
@@ -97,7 +111,10 @@ def run_pipeline(
         if not done("ft_step3"):
             print(f"[pipeline] ft_step3: training -> {ft3.savedir}")
             results["ft_step3"] = build_trainer(ft3).fit()
-        mt = C.multitask(savedir=stage_dir("multitask"), **common)
+        mt = C.multitask(
+            savedir=stage_dir("multitask"),
+            pretrained_encoder=pretrained_encoder, **common,
+        )
         if not done("multitask"):
             print(f"[pipeline] multitask: training -> {mt.savedir}")
             results["multitask"] = build_trainer(mt).fit()

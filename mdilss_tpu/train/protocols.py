@@ -72,8 +72,32 @@ def build_trainer(cfg: TrainConfig) -> Trainer:
     if cfg.protocol in ("ft", "fe"):
         return _build_ft(cfg)
     if cfg.protocol in ("multitask", "singletask"):
-        return Trainer(cfg)
+        return _build_plain(cfg)
     raise ValueError(cfg.protocol)
+
+
+def _build_plain(cfg: TrainConfig) -> Trainer:
+    """multitask / singletask init: the reference starts both from the
+    ImageNet-pretrained encoder — train_multi_task.py:414-423 loads --state
+    with the module.features->module rename, and the single-task baseline's
+    main.py takes --pretrainedEncoder (trainer_single_task.sh:46-52,
+    trainer_multi_task.sh:50-55). An Orbax dir restores a full same-shape
+    run instead."""
+    src = cfg.pretrained_encoder or cfg.state
+    if not src:
+        return Trainer(cfg)
+    if os.path.isdir(src):
+        params, bn = _load_params(
+            src, kind="multi_task", nb_tasks=len(cfg.num_classes),
+            num_classes=cfg.num_classes, seed=cfg.seed,
+        )
+    else:
+        params, bn = erfnet_multihead.init(
+            jax.random.key(cfg.seed), list(cfg.num_classes)
+        )
+        sd = load_pth_tar(src)
+        params, bn = load_imagenet_encoder(params, bn, sd, kind="multi_task")
+    return Trainer(cfg, init_params=params, init_bn=bn)
 
 
 def _build_step1(cfg: TrainConfig) -> Trainer:

@@ -90,6 +90,72 @@ def test_singletask_chain_through_orbax(tmp_path):
     )
 
 
+def test_plain_trainers_load_pretrained_encoder(tmp_path):
+    """singletask/multitask honor the ImageNet-pretrained encoder init (the
+    reference seeds both baselines from it: main.py --pretrainedEncoder via
+    trainer_single_task.sh:46; train_multi_task.py:414-423 loads --state with
+    the module.features->module rename, strict=False)."""
+    import torch
+
+    from mdilss_tpu.ckpt import export_state_dict
+    from mdilss_tpu.models import erfnet_multihead
+
+    rng = np.random.default_rng(0)
+    p0, b0 = erfnet_multihead.init(jax.random.key(9), [20])
+    base = export_state_dict(p0, b0, kind="multi_task")
+    pretrained = {
+        "module.features." + k: rng.standard_normal(v.shape).astype(np.float32)
+        for k, v in base.items()
+        if k.startswith("encoder.") and "conv" in k and "bn" not in k
+    }
+    assert pretrained, "no encoder conv keys found"
+    pth = tmp_path / "enc.pth.tar"
+    torch.save({"state_dict": pretrained}, str(pth))
+
+    cfg = C.singletask("cityscapes", savedir=str(tmp_path / "st"),
+                       pretrained_encoder=str(pth), **TINY)
+    tr = build_trainer(cfg)
+    got = export_state_dict(tr.ts.params, tr.ts.bn, kind="multi_task")
+    for k, v in pretrained.items():
+        np.testing.assert_array_equal(
+            got[k.removeprefix("module.features.")], v, err_msg=k)
+
+    # multitask accepts the encoder through --state, as the reference does
+    cfg_mt = C.multitask(savedir=str(tmp_path / "mt"), state=str(pth), **TINY)
+    tr_mt = build_trainer(cfg_mt)
+    got_mt = export_state_dict(tr_mt.ts.params, tr_mt.ts.bn, kind="multi_task")
+    for k, v in pretrained.items():
+        np.testing.assert_array_equal(
+            got_mt[k.removeprefix("module.features.")], v, err_msg=k)
+
+
+def test_pipeline_baseline_chain(tmp_path):
+    """--with-baselines mirrors the reference's baseline chains: the ft
+    2-head stage is seeded from the single-task Cityscapes stage's best
+    (trainer_fine_tune.sh:54), ft3 from ft2 (:59)."""
+    run_pipeline(order="CS_BDD_IDD", savedir=str(tmp_path), common=TINY,
+                 stages=(), with_baselines=True)
+    from mdilss_tpu.ckpt import orbax_io
+    from mdilss_tpu.models import erfnet_multihead
+    from mdilss_tpu.train import steps
+
+    for stage in ("single_cs", "ft_step2", "ft_step3", "multitask"):
+        assert os.path.isdir(tmp_path / stage / "best"), stage
+    p1, b1 = erfnet_multihead.init(jax.random.key(0), [20])
+    st, *_ = orbax_io.restore(str(tmp_path / "single_cs" / "best"),
+                              steps.init_train_state(p1, b1))
+    p2, b2 = erfnet_multihead.init(jax.random.key(0), [20, 20])
+    # rebuild ft2's INITIAL state from the chain (its trained best has moved
+    # on) — head 0 must start as single_cs's best decoder
+    ft2 = build_trainer(C.ft_step(
+        n_heads=2, savedir=str(tmp_path / "ft2_rebuild"),
+        state=str(tmp_path / "single_cs" / "best"), **TINY))
+    np.testing.assert_array_equal(
+        np.asarray(st.params["decoders"][0]["output_conv"]["w"]),
+        np.asarray(ft2.ts.params["decoders"][0]["output_conv"]["w"]),
+    )
+
+
 def test_expected_miou_table_loads():
     exp = load_expected("step3_CS_BDD_IDD")
     assert exp == {"cityscapes": 0.5919, "BDD": 0.4966, "IDD": 0.5916}
