@@ -121,11 +121,15 @@ def test_step2_trajectory_matches_torch_oracle(ref_mod, rng):
         our_losses.append((float(metrics["ce"]), float(metrics["kld"])))
 
     # batch 1 compares fresh states tightly; batch 2 sees the O(1e-4) param
-    # noise from batch 1's Adam step, so its loss tolerance is looser
+    # noise from batch 1's Adam step, so its loss tolerance is looser. KLD
+    # atol allows for the teacher's eval-mode forward running the
+    # space-to-depth downsampler factorization inside the folded train step
+    # (same math as conv+maxpool, different fp rounding: observed 1.6e-6
+    # drift on a 0.15 KLD).
     np.testing.assert_allclose(our_losses[0][0], torch_losses[0][0], rtol=1e-4)
-    np.testing.assert_allclose(our_losses[0][1], torch_losses[0][1], atol=1e-6)
+    np.testing.assert_allclose(our_losses[0][1], torch_losses[0][1], atol=5e-6)
     np.testing.assert_allclose(our_losses[1][0], torch_losses[1][0], rtol=1e-3)
-    np.testing.assert_allclose(our_losses[1][1], torch_losses[1][1], atol=1e-5)
+    np.testing.assert_allclose(our_losses[1][1], torch_losses[1][1], atol=2e-5)
 
     # --- gradient parity on batch 1 (pre-Adam: no sign-noise amplification) ---
     from mdilss_tpu.losses import kld_faithful, weighted_cross_entropy
