@@ -112,6 +112,7 @@ def step3(order: str = "CS_BDD_IDD", **kw) -> TrainConfig:
 def multitask(**kw) -> TrainConfig:
     """Joint multi-task baseline over all three domains."""
     kw.setdefault("eval_every", 5)  # ref validates every 5 epochs
+    kw.setdefault("eval_old_every", 5)  # ... all domains at the same cadence
     return TrainConfig(
         protocol="multitask", model="erfnet_multi_task",
         datasets=("cityscapes", "BDD", "IDD"), num_classes=(20, 20, 27),

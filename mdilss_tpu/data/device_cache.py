@@ -52,9 +52,17 @@ class DeviceCache:
         # decode through the loader's own pipeline (native decoder + threads)
         # into host buffers, then ship in ONE transfer each: device-side peak
         # is the dataset size, not 2x (chunked device_puts would coexist with
-        # the concatenated copy)
-        images = np.empty((n, h, w, 3), np.uint8)
-        labels = np.empty((n, h, w), np.uint8)
+        # the concatenated copy). Sharding pad rows are allocated up front —
+        # a post-hoc np.concatenate would transiently double HOST memory for
+        # exactly the datasets this cache exists to make fit.
+        sharded = mesh is not None and mesh.devices.size > 1
+        data = mesh.shape["data"] if sharded else 1
+        pad = (-n) % data  # N must divide the data axis for sharding
+        images = np.empty((n + pad, h, w, 3), np.uint8)
+        labels = np.empty((n + pad, h, w), np.uint8)
+        if pad:
+            images[n:] = 0
+            labels[n:] = 0
         order_loader = Loader(
             loader.source, batch_size=loader.batch_size, height=h, width=w,
             shuffle=False, drop_last=False, num_threads=loader.num_threads,
@@ -67,15 +75,10 @@ class DeviceCache:
             pos += k
         assert pos == n, (pos, n)
         self._gather = None
-        if mesh is not None and mesh.devices.size > 1:
+        if sharded:
             import jax.numpy as jnp
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            data = mesh.shape["data"]
-            pad = (-n) % data  # N must divide the data axis for sharding
-            if pad:
-                images = np.concatenate([images, np.zeros((pad, h, w, 3), np.uint8)])
-                labels = np.concatenate([labels, np.zeros((pad, h, w), np.uint8)])
             row_sh = NamedSharding(mesh, P("data"))
             self.images = jax.device_put(images, row_sh)
             self.labels = jax.device_put(labels, row_sh)

@@ -83,7 +83,17 @@ def bdd100k_index(root: str, subset: str = "train") -> list[tuple[str, str]]:
     return [(os.path.join(img_dir, i), os.path.join(lbl_dir, l)) for i, l in zip(imgs, labels)]
 
 
-def voc12_index(root: str) -> list[tuple[str, str]]:
+def voc12_index(root: str, subset: str = "train") -> list[tuple[str, str]]:
+    # The reference's VOC12 layout is flat (<root>/images + <root>/labels,
+    # dataset.py:44-51 — no split dirs). Honor <root>/<subset>/images|labels
+    # when it exists; otherwise fall back to the flat layout, warning when a
+    # non-train subset would silently alias the training set.
+    if os.path.isdir(os.path.join(root, subset, "labels")):
+        root = os.path.join(root, subset)
+    elif subset != "train":
+        print(f"[data] VOC12 root {root!r} has no {subset}/ split dir "
+              f"(reference flat layout): '{subset}' returns the SAME image "
+              f"set as 'train' — val metrics are training-set metrics")
     lbl_dir = os.path.join(root, "labels")
     img_dir = os.path.join(root, "images")
     names = sorted(
@@ -122,5 +132,5 @@ def make_source(name: str, root: str, subset: str = "train") -> Source:
     if name == "BDD":
         return Source(name, bdd100k_index(root, subset), 20)
     if name == "VOC12":
-        return Source(name, voc12_index(root), 21)
+        return Source(name, voc12_index(root, subset), 21)
     raise ValueError(f"unknown dataset {name!r}")

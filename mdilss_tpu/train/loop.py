@@ -31,6 +31,7 @@ from ..metrics import IoUEvaluator
 from ..models import erfnet_multihead, erfnet_rap
 from ..parallel import jit_distill_step, jit_eval_step, jit_train_step, make_mesh, replicate, shard_batch
 from ..utils.logging import MetricLogger, getColorEntry
+from .optim import poly_lr_factor
 from . import masks, steps
 from ..ckpt import orbax_io
 from ..losses import kld_corrected, kld_faithful
@@ -331,14 +332,18 @@ class Trainer:
             d = cfg.datasets[cur]
             for imgs, lbls, _ in batches(d):
                 self._one_batch(d, cur, imgs, lbls, epoch, losses)
-        # drain the epoch's device scalars in one pass (see _one_batch)
-        out = {f"train_{k}": float(np.mean([float(x) for x in v]))
+        # drain the epoch's device scalars in one pass (see _one_batch) —
+        # one device-side mean + ONE fetch per key, not one round-trip per
+        # batch (each sync costs ~35 ms on remote-tunnel backends)
+        out = {f"train_{k}": float(jnp.mean(jnp.stack([jnp.asarray(x) for x in v])))
                for k, v in losses.items() if v}
         if self._train_evs is not None:
             ious = []
             for d, ev in self._train_evs.items():
-                for cm in self._train_cms[d]:
-                    ev.add_confusion(cm)
+                if self._train_cms[d]:
+                    # sum the per-batch confusion matrices on device; one D2H
+                    ev.add_confusion(sum(self._train_cms[d][1:],
+                                         start=self._train_cms[d][0]))
                 if np.sum(ev._cm) == 0:
                     continue
                 iou, _ = ev.get_iou()
@@ -416,7 +421,10 @@ class Trainer:
             stats = self.train_epoch(epoch)
             row = dict(epoch=epoch, **stats)
 
-            evaluated = epoch % cfg.eval_every == 0
+            # the final epoch always evaluates: a run shorter than the eval
+            # cadence (pipeline smoke runs, multitask's every-5 default) must
+            # still produce a best/ checkpoint for the next chain stage
+            evaluated = epoch % cfg.eval_every == 0 or epoch == cfg.num_epochs
             if evaluated:
                 val_loss, val_iou = self.evaluate(cur_ds, epoch)
                 row[f"val_loss_{cur_ds}"] = val_loss
@@ -439,9 +447,14 @@ class Trainer:
             # (train_RAPFT_step1.py:347-352); an uneval'd epoch must never
             # shadow a real one with a -0.0 score.
             if cfg.protocol == "multitask":
+                # best = mean val IoU over the domains validated this epoch
+                # (train_multi_task.py:304-308) — but only epochs that
+                # evaluated the current task compete: with eval_old_every <
+                # eval_every, a mean over the OTHER domains alone must not
+                # shadow a real all-domain epoch.
                 accs = [v for k, v in row.items() if k.startswith("val_acc_")]
-                current_acc = (float(np.mean(accs)) if accs
-                               else (-val_loss if evaluated else None))
+                current_acc = ((float(np.mean(accs)) if accs else -val_loss)
+                               if evaluated else None)
             else:
                 current_acc = ((val_iou if val_iou != 0 else -val_loss)
                                if evaluated else None)
@@ -449,11 +462,11 @@ class Trainer:
             if is_best:
                 self.best_acc = current_acc
 
-            # actual optimizer lrs this epoch (poly_lr_factor in optim.py);
-            # the automated_log column carries the DS/current group lr — the
-            # last param group, which is what the reference's usedLr loop
-            # ends on (train_RAPFT_step1.py:274-276)
-            poly = float((1.0 - (epoch - 1) / cfg.num_epochs) ** 0.9)
+            # actual optimizer lrs this epoch; the automated_log column
+            # carries the DS/current group lr — the last param group, which
+            # is what the reference's usedLr loop ends on
+            # (train_RAPFT_step1.py:274-276)
+            poly = float(poly_lr_factor(epoch, cfg.num_epochs))
             row["lr_ds"] = cfg.lr * poly
             row["lr_shared"] = cfg.shared_lr_value() * poly
 

@@ -69,6 +69,26 @@ def run_pipeline(
             results[stage] = build_trainer(cfg).fit()
         prev_best = os.path.join(stage_dir(stage), "best")
 
+    def require_prev(stage: str, prev_stage: str) -> str:
+        """Checkpoint for an incremental stage whose predecessor didn't run
+        in this invocation (e.g. --stages step3 to redo the last stage).
+
+        Without this, state=None would silently hit _build_incremental's
+        random-teacher smoke path and distill against garbage."""
+        if prev_best is not None:
+            return prev_best
+        best = os.path.join(stage_dir(prev_stage), "best")
+        if os.path.isdir(best):
+            from ..ckpt import orbax_io
+
+            if orbax_io.latest_epoch(best) is not None:
+                return best
+        raise ValueError(
+            f"pipeline stage '{stage}' needs the previous step's checkpoint: "
+            f"no {best} found — include '{prev_stage}' in --stages or pass "
+            f"--state"
+        )
+
     if "step1" in stages:
         run("step1", C.step1(
             savedir=stage_dir("step1"), state=prev_best,
@@ -76,11 +96,13 @@ def run_pipeline(
         ))
     if "step2" in stages:
         run("step2", C.step2(
-            order=order2, savedir=stage_dir("step2"), state=prev_best, **common,
+            order=order2, savedir=stage_dir("step2"),
+            state=require_prev("step2", "step1"), **common,
         ))
     if "step3" in stages:
         run("step3", C.step3(
-            order=order3, savedir=stage_dir("step3"), state=prev_best, **common,
+            order=order3, savedir=stage_dir("step3"),
+            state=require_prev("step3", "step2"), **common,
         ))
 
     if with_baselines:

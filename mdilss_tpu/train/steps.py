@@ -153,7 +153,6 @@ def make_distill_step(
     weight_decay: float = 1e-4,
     remat_prev: bool = True,
     iou_train: bool = False,
-    teacher_apply_fn: ApplyFn | None = None,
 ):
     """Single-backward distillation step (the proposed method's step 2; also
     the fused fast path for step 3): total = CE + lambda_c * sum KLD_prev
@@ -163,15 +162,10 @@ def make_distill_step(
     activations are recomputed in the backward pass instead of stored, cutting
     peak HBM by roughly one forward per previous task (numerically identical).
 
-    `teacher_apply_fn` may override the forward used for the frozen teacher —
-    it runs in eval mode under stop_gradient, so the fused inference kernels
-    (ops/pallas/nb1d.py) are safe there even when the student needs the
-    autodiff-able path.
-
     step(ts, teacher, images, labels, rng, epoch) -> (ts', metrics)
     """
     class_weight = _host_const(class_weight)
-    t_apply = teacher_apply_fn or apply_fn
+    t_apply = apply_fn
 
     def step(ts: TrainState, teacher: ModelState, images, labels, masks, rng, epoch):
         rngs = _split(rng, 1 + len(prev_tasks))
@@ -225,7 +219,6 @@ def make_two_phase_distill_step(
     kld_fn=kld_faithful,
     weight_decay: float = 1e-4,
     iou_train: bool = False,
-    teacher_apply_fn: ApplyFn | None = None,
 ):
     """Faithful step-3 trajectory: backward+Adam on CE, then backward+Adam on
     lambda_c * (sum of previous-task KLDs) against the updated weights —
@@ -234,7 +227,7 @@ def make_two_phase_distill_step(
     step(ts, teacher, images, labels, rng, epoch) -> (ts', metrics)
     """
     class_weight = _host_const(class_weight)
-    t_apply = teacher_apply_fn or apply_fn
+    t_apply = apply_fn
 
     def step(ts: TrainState, teacher: ModelState, images, labels, masks, rng, epoch):
         rngs = _split(rng, 1 + len(prev_tasks))

@@ -51,6 +51,39 @@ def test_pipeline_skips_finished_stage(tmp_path, capsys):
     assert "step1" not in results and "step2" in results
 
 
+def test_pipeline_stage_subset_requires_predecessor(tmp_path):
+    """--stages step3 without step2's checkpoint on disk must fail loudly —
+    state=None would otherwise silently distill against a random teacher."""
+    with pytest.raises(ValueError, match="step2"):
+        run_pipeline(order="CS_BDD_IDD", savedir=str(tmp_path), common=TINY,
+                     stages=("step3",))
+
+
+def test_pipeline_stage_subset_resolves_prev_from_disk(tmp_path):
+    """Rerunning a later stage alone picks up the predecessor's best from the
+    savedir (the crashed-pipeline-rerun workflow)."""
+    run_pipeline(order="CS_BDD_IDD", savedir=str(tmp_path), common=TINY,
+                 stages=("step1",))
+    results = run_pipeline(order="CS_BDD_IDD", savedir=str(tmp_path),
+                           common=TINY, stages=("step2",))
+    assert "step2" in results
+    # chained, not random: step2's frozen task-0 decoder equals step1's best
+    from mdilss_tpu.ckpt import orbax_io
+    from mdilss_tpu.models import erfnet_rap
+    from mdilss_tpu.train import steps
+
+    p1, b1 = erfnet_rap.init(jax.random.key(0), [20], 1)
+    ts1, *_ = orbax_io.restore(str(tmp_path / "step1" / "best"),
+                               steps.init_train_state(p1, b1))
+    p2, b2 = erfnet_rap.init(jax.random.key(0), [20, 20], 2)
+    ts2, *_ = orbax_io.restore(str(tmp_path / "step2" / "best"),
+                               steps.init_train_state(p2, b2))
+    np.testing.assert_array_equal(
+        np.asarray(ts1.params["decoders"][0]["output_conv"]["w"]),
+        np.asarray(ts2.params["decoders"][0]["output_conv"]["w"]),
+    )
+
+
 def test_ft_chain_through_orbax(tmp_path):
     """ft 2-head run -> 3-head run seeded from its own Orbax best: the
     framework's FT chain no longer needs the torch format

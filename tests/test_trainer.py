@@ -131,14 +131,30 @@ def test_uneval_epoch_never_best(tmp_path):
     """With eval_every=2 only evaluated epochs may write best/ — an
     uneval'd epoch's -0.0 placeholder must not win (reference compares
     val-IoU epochs only, train_RAPFT_step1.py:347-352)."""
-    cfg = C.step1(num_epochs=3, eval_every=2, savedir=str(tmp_path / "run"), **TINY)
+    cfg = C.step1(num_epochs=4, eval_every=2, savedir=str(tmp_path / "run"), **TINY)
+    tr = build_trainer(cfg)
+    tr.fit()
+    # epochs 2 and 4 evaluated (the final epoch always does); 1 and 3 did not
+    # and must never hold best/
+    best_txt = open(tmp_path / "run" / "best.txt").read()
+    _, epoch, _, _ = orbax_io.restore(
+        str(tmp_path / "run" / "best"), tr.ts
+    )
+    assert epoch in (2, 4), best_txt
+
+
+def test_multitask_uneval_epoch_never_best(tmp_path):
+    """Multitask: epochs where only the OTHER domains were validated
+    (eval_old_every < eval_every) must not compete for best — a 2-domain
+    mean must never shadow the all-domain mean the reference compares
+    (train_multi_task.py:304-308)."""
+    cfg = C.multitask(num_epochs=2, eval_every=2, eval_old_every=1,
+                      savedir=str(tmp_path / "run"), **TINY)
     tr = build_trainer(cfg)
     tr.fit()
     best_txt = open(tmp_path / "run" / "best.txt").read()
     assert "Best epoch is 2" in best_txt, best_txt
-    _, epoch, _, _ = orbax_io.restore(
-        str(tmp_path / "run" / "best"), tr.ts
-    )
+    _, epoch, _, _ = orbax_io.restore(str(tmp_path / "run" / "best"), tr.ts)
     assert epoch == 2
 
 
