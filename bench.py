@@ -248,6 +248,35 @@ def main() -> None:
     print(json.dumps(result))
 
 
+def _device_reachable(timeout_s: int = 180) -> bool:
+    """Probe the default backend in a SUBPROCESS with a hard timeout.
+
+    The axon TPU tunnel can hang at PJRT client init during outages (any
+    jax.devices() call blocks forever, unkillable from inside the process);
+    probing out-of-process lets the bench fail fast with a diagnostic line
+    instead of hanging the driver."""
+    import subprocess
+
+    code = ("import jax, jax.numpy as jnp; "
+            "print(float((jnp.ones((8,8)) @ jnp.ones((8,8))).sum()))")
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, timeout=timeout_s)
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if not _device_reachable():
+        print(json.dumps({
+            "metric": "erfnet_rap_step2_train_images_per_sec_per_chip",
+            "value": 0.0, "unit": "img/s/chip", "vs_baseline": 0.0,
+            "extras": {"error": "device backend unreachable: trivial device "
+                                "op hung >180s (axon tunnel outage) — no "
+                                "measurement taken; see README 'Measured "
+                                "performance' for the last recorded numbers"},
+        }))
+        sys.exit(1)
     main()
