@@ -225,6 +225,11 @@ def main(argv=None):
         spec = _ilu.spec_from_file_location("mdilss_bench", bench_path)
         mod = _ilu.module_from_spec(spec)
         spec.loader.exec_module(mod)
+        # same fail-fast as `python bench.py`: a hung device tunnel must
+        # produce a diagnostic, not hang the caller at PJRT init
+        if not mod._device_reachable():
+            raise SystemExit("bench: device backend unreachable "
+                             "(trivial device op hung) — no measurement taken")
         mod.main()
         return
 
