@@ -96,6 +96,32 @@ def test_cityscapes_index_conventions(tmp_path):
     assert src.pairs == sorted(src.pairs)
 
 
+def test_voc12_subset_layout(tmp_path, capsys):
+    """VOC12: a <root>/<subset>/images|labels layout yields distinct splits;
+    the reference's flat layout (dataset.py:44-51 has no split dirs) warns
+    that a non-train subset aliases the training set."""
+    from PIL import Image
+
+    def fill(d, names):
+        os.makedirs(d / "images"); os.makedirs(d / "labels")
+        for n in names:
+            Image.new("RGB", (4, 4)).save(d / "images" / f"{n}.jpg")
+            Image.new("P", (4, 4)).save(d / "labels" / f"{n}.png")
+
+    split = tmp_path / "split"
+    fill(split / "train", ["a", "b"]); fill(split / "val", ["c"])
+    tr = make_source("VOC12", str(split), "train")
+    va = make_source("VOC12", str(split), "val")
+    assert len(tr) == 2 and len(va) == 1
+    assert not set(tr.pairs) & set(va.pairs)
+
+    flat = tmp_path / "flat"
+    fill(flat, ["x", "y"])
+    va_flat = make_source("VOC12", str(flat), "val")
+    assert len(va_flat) == 2
+    assert "SAME image set" in capsys.readouterr().out
+
+
 def test_loader_shuffle_determinism_and_padding():
     src = SyntheticSource(num_classes=20, n=10, height=8, width=16)
     ld = Loader(src, batch_size=4, height=8, width=16, shuffle=True, seed=3)
