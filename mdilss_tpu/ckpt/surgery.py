@@ -42,8 +42,14 @@ def _append_slot(arr: jax.Array, axis: int, fresh_value: float | None) -> jax.Ar
     return jnp.concatenate([arr, new], axis=axis)
 
 
+ADAPTER_KEYS = ("rap1", "rap2", "ser1", "ser2", "wt1", "wt2")
+
+
 def extend_for_new_task(params, state, new_num_classes: int, rng, dtype=jnp.float32):
-    """RAP model: grow nb_tasks -> nb_tasks+1 with the reference init scheme.
+    """Grow nb_tasks -> nb_tasks+1 with the reference init scheme. Covers the
+    RAP model and every reconstructed ablation variant: any task-stacked
+    adapter leaf (rap/ser/wt) and any task-stacked BN grows by one slot seeded
+    from task t-1; shared leaves (convs, onlyrap's shared BN) pass through.
 
     Task axis position: 0 on the downsampler BN leaves, 1 on grouped
     (scan-stacked) leaves (see models/topology.py docstring).
@@ -62,20 +68,21 @@ def extend_for_new_task(params, state, new_num_classes: int, rng, dtype=jnp.floa
         return new_p, new_s
 
     def grow_nb(p, s, axis: int):
-        bn1_p, bn1_s = grow_bn(p["bns1"], s["bns1"], axis)
-        bn2_p, bn2_s = grow_bn(p["bns2"], s["bns2"], axis)
-        new_p = {
-            **{k: p[k] for k in ("conv3x1_1", "conv1x3_1", "conv3x1_2", "conv1x3_2")},
-            "rap1": {"w": _append_slot(p["rap1"]["w"], axis, None),
-                     "b": _append_slot(p["rap1"]["b"], axis, None)},
-            "bns1": bn1_p,
-            "rap2": {"w": _append_slot(p["rap2"]["w"], axis, None),
-                     "b": _append_slot(p["rap2"]["b"], axis, None)},
-            "bns2": bn2_p,
-        }
-        return new_p, {"bns1": bn1_s, "bns2": bn2_s}
+        new_p, new_s = {}, {}
+        for k, v in p.items():
+            if k in ("bns1", "bns2"):  # per-task BN
+                new_p[k], new_s[k] = grow_bn(v, s[k], axis)
+            elif k in ("bn1", "bn2"):  # shared BN (onlyrap): untouched
+                new_p[k], new_s[k] = v, s[k]
+            elif k in ADAPTER_KEYS:  # task-stacked adapters: seed from t-1
+                new_p[k] = jax.tree.map(lambda a: _append_slot(a, axis, None), v)
+            else:  # shared convs
+                new_p[k] = v
+        return new_p, new_s
 
     def grow_down(p, s):
+        if p["bn"]["scale"].ndim == 1:  # shared bn_ini (onlyrap)
+            return {"conv": p["conv"], "bn": p["bn"]}, {"bn": s["bn"]}
         bn_p, bn_s = grow_bn(p["bn"], s["bn"], 0)
         return {"conv": p["conv"], "bn": bn_p}, {"bn": bn_s}
 
@@ -119,6 +126,33 @@ def merge_state_dict(params, state, sd: dict[str, np.ndarray], *, kind: str):
             merged[k] = np.asarray(v)
     nb = len(params["decoders"]) if "decoders" in params else 1
     return convert_state_dict(merged, kind=kind, nb_tasks=nb)
+
+
+def graft_shared_encoder(dst_params, src_enc_params):
+    """Copy the SHARED encoder conv leaves (downsampler convs + every nb1d
+    conv pair) from `src_enc_params` into `dst_params["encoder"]`, leaving
+    DS leaves (adapters, BN) untouched.
+
+    Used to seed the reconstructed ablation models from the same
+    ImageNet-pretrained encoder as step 1 (train_RAPFT_step1.py:482-502): the
+    torch converter grammar only exists for the shipped model kinds, but the
+    shared-conv sublayout is identical across variants, so the pretrained
+    convs are loaded into a RAP template and grafted leaf-wise."""
+    dst_enc = dst_params["encoder"]
+    new_enc = {}
+    for seg in ("initial", "down1", "down2"):
+        new_enc[seg] = {**dst_enc[seg], "conv": jax.tree.map(jnp.array, src_enc_params[seg]["conv"])}
+    conv_keys = ("conv3x1_1", "conv1x3_1", "conv3x1_2", "conv1x3_2")
+
+    def graft_group(dst_g, src_g):
+        return {**dst_g, **{k: jax.tree.map(jnp.array, src_g[k]) for k in conv_keys}}
+
+    new_enc["group64"] = graft_group(dst_enc["group64"], src_enc_params["group64"])
+    new_enc["group128"] = {
+        dk: graft_group(dst_enc["group128"][dk], src_enc_params["group128"][dk])
+        for dk in dst_enc["group128"]
+    }
+    return {**dst_params, "encoder": new_enc}
 
 
 def load_imagenet_encoder(params, state, sd: dict[str, np.ndarray], *, kind: str = "rap"):

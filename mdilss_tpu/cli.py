@@ -82,18 +82,26 @@ def main(argv=None):
     parser = argparse.ArgumentParser(prog="mdilss_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
+    # the reference step-1 trainer's model factory (train_RAPFT_step1.py:451-460);
+    # the four non-RAP entries are reconstructions (models/erfnet_ablations.py)
+    _MODELS = ("erfnet_RA_parallel", "erfnet_bn", "erfnet_onlyRAP",
+               "erfnet_RA_series", "erfnet_RCM")
+
     p1 = sub.add_parser("step1", help="RAP-FT step 1 on Cityscapes")
     p1.add_argument("--pretrained-encoder", help="ImageNet encoder .pth.tar")
+    p1.add_argument("--model", choices=_MODELS, default="erfnet_RA_parallel")
     _add_common(p1)
 
     p2 = sub.add_parser("step2", help="incremental step 2 with distillation")
     p2.add_argument("--order", choices=("CS_BDD", "CS_IDD"), default="CS_BDD")
+    p2.add_argument("--model", choices=_MODELS, default="erfnet_RA_parallel")
     _add_common(p2)
 
     p3 = sub.add_parser("step3", help="incremental step 3 (two KLD terms)")
     p3.add_argument("--order", choices=("CS_BDD_IDD", "CS_IDD_BDD"), default="CS_BDD_IDD")
     p3.add_argument("--single-phase", action="store_true",
                     help="fused single-backward variant instead of the faithful two-phase step")
+    p3.add_argument("--model", choices=_MODELS, default="erfnet_RA_parallel")
     _add_common(p3)
 
     pm = sub.add_parser("multitask", help="joint multi-task baseline")
@@ -129,7 +137,7 @@ def main(argv=None):
 
     pe = sub.add_parser("eval", help="evaluate a checkpoint per domain")
     pe.add_argument("ckpt")
-    pe.add_argument("--kind", choices=("rap", "erfnet", "multi_task", "ftp1", "ftp2"), default="rap")
+    pe.add_argument("--kind", choices=("rap", "erfnet", "multi_task", "ftp1", "ftp2", "erfnet_bn", "erfnet_onlyRAP", "erfnet_RA_series", "erfnet_RCM"), default="rap")
     pe.add_argument("--datasets", nargs="+", default=["cityscapes", "BDD", "IDD"])
     pe.add_argument("--num-classes", type=int, nargs="+", default=[20, 20, 27])
     pe.add_argument("--batch-size", type=int, default=1)
@@ -146,7 +154,7 @@ def main(argv=None):
 
     def _add_analysis_common(p):
         p.add_argument("ckpt")
-        p.add_argument("--kind", choices=("rap", "erfnet", "multi_task", "ftp1", "ftp2"),
+        p.add_argument("--kind", choices=("rap", "erfnet", "multi_task", "ftp1", "ftp2", "erfnet_bn", "erfnet_onlyRAP", "erfnet_RA_series", "erfnet_RCM"),
                        default="rap")
         p.add_argument("--dataset", default="cityscapes")
         p.add_argument("--subset", default="val")
@@ -366,11 +374,12 @@ def main(argv=None):
         }))
         return
     if args.cmd == "step1":
-        cfg = C.step1(pretrained_encoder=args.pretrained_encoder, **kw)
+        cfg = C.step1(pretrained_encoder=args.pretrained_encoder, model=args.model, **kw)
     elif args.cmd == "step2":
-        cfg = C.step2(order=args.order, **kw)
+        cfg = C.step2(order=args.order, model=args.model, **kw)
     elif args.cmd == "step3":
-        cfg = C.step3(order=args.order, two_phase=not args.single_phase, **kw)
+        cfg = C.step3(order=args.order, two_phase=not args.single_phase,
+                      model=args.model, **kw)
     elif args.cmd == "multitask":
         cfg = C.multitask(pretrained_encoder=args.pretrained_encoder, **kw)
     elif args.cmd == "single":

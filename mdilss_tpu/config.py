@@ -19,7 +19,10 @@ from typing import Sequence
 class TrainConfig:
     # protocol
     protocol: str = "step1"  # step1 | step2 | step3 | multitask | ft | fe
-    model: str = "erfnet_RA_parallel"  # | erfnet | erfnet_multi_task | erfnet_ftp1 | erfnet_ftp2
+    # | erfnet | erfnet_multi_task | erfnet_ftp1 | erfnet_ftp2, plus the
+    # reconstructed step-1 ablation factory entries erfnet_bn / erfnet_onlyRAP
+    # / erfnet_RA_series / erfnet_RCM (train_RAPFT_step1.py:451-460)
+    model: str = "erfnet_RA_parallel"
     datasets: tuple[str, ...] = ("cityscapes",)  # task order; last = current
     num_classes: tuple[int, ...] = (20,)
     current_task: int = 0

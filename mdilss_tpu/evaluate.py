@@ -18,7 +18,7 @@ import numpy as np
 from .data import Loader, SyntheticSource, make_source
 from .data.transforms import prepare_batch
 from .metrics import IoUEvaluator
-from .models import erfnet, erfnet_multihead, erfnet_rap
+from .models import erfnet, erfnet_ablations, erfnet_multihead, erfnet_rap
 from .ckpt import convert_state_dict, load_pth_tar
 from .train import steps
 from .utils.logging import getColorEntry
@@ -29,6 +29,12 @@ _MODEL = {
     "multi_task": (erfnet_multihead, False),
     "ftp1": (erfnet_multihead, False),
     "ftp2": (erfnet_multihead, False),
+    # reconstructed step-1 ablation factory entries (Orbax runs only — no
+    # reference checkpoints/torch grammar exist; models/erfnet_ablations.py)
+    **{
+        name: (erfnet_ablations.model_module(v), True)
+        for name, v in erfnet_ablations.REFERENCE_NAMES.items()
+    },
 }
 
 
@@ -80,12 +86,17 @@ def load_checkpoint(path: str, *, kind: str, num_classes: Sequence[int]):
         from .ckpt import orbax_io
 
         if is_rap:
-            p0, b0 = erfnet_rap.init(jax.random.key(0), list(num_classes), nb)
+            p0, b0 = mod.init(jax.random.key(0), list(num_classes), nb)
         else:
             p0, b0 = erfnet_multihead.init(jax.random.key(0), list(num_classes))
         ts, *_ = orbax_io.restore(path, steps.init_train_state(p0, b0))
         params, bn = ts.params, ts.bn
     else:
+        if kind in erfnet_ablations.REFERENCE_NAMES:
+            raise ValueError(
+                f"{kind} has no torch checkpoint grammar (reconstructed "
+                f"variant; Orbax dirs only)"
+            )
         params, bn = convert_state_dict(load_pth_tar(path), kind=kind, nb_tasks=nb)
     if kind == "erfnet":
         apply_fn = lambda p, s, x, task, **kw: erfnet.apply(p, s, x, **kw)

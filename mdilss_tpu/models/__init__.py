@@ -1,3 +1,3 @@
-from . import erfnet, erfnet_rap, erfnet_multihead
+from . import erfnet, erfnet_ablations, erfnet_rap, erfnet_multihead
 
-__all__ = ["erfnet", "erfnet_rap", "erfnet_multihead"]
+__all__ = ["erfnet", "erfnet_ablations", "erfnet_rap", "erfnet_multihead"]

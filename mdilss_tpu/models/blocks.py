@@ -249,6 +249,104 @@ def nb1d_rap_apply(
 
 
 # ---------------------------------------------------------------------------
+# Ablation-variant non_bottleneck_1d blocks (reconstructions)
+#
+# The reference's step-1 trainer carries a model factory and freeze rules for
+# four ablation models (train_RAPFT_step1.py:451-460, 176-242) whose
+# definition files are absent upstream ("can be requested", README.md:44).
+# The per-task parameter surface below is inferred from the freeze rules'
+# key patterns; the adapter math follows the cited lineage (parallel/series
+# residual adapters; RCM's per-task Wt reparameterization matrices):
+#
+#   bn       DSBN-only: shared convs, per-task BN — freeze gates only
+#            bns_1/bns_2/bn_ini.{t} (train_RAPFT_step1.py:232-242)
+#   onlyrap  per-task parallel 1x1 adapters, SHARED BN — freeze gates only
+#            parallel_conv.{t}; BN names are untouched (:191-204)
+#   ras      series adapters: per-task 1x1 conv applied residually to each
+#            conv pair's output, per-task BN (:206-216)
+#   rcm      per-task CxC reparameterization Wt_1/Wt_2 (no bias, no residual,
+#            identity-initialized) composed onto each conv pair's output,
+#            per-task BN — freeze gates Wt_1.{t}/Wt_2.{t} weights (:218-230)
+# ---------------------------------------------------------------------------
+
+ABLATION_VARIANTS = ("bn", "onlyrap", "ras", "rcm")
+# variants whose BN (incl. the downsampler bn_ini) carries a task axis
+PER_TASK_BN_VARIANTS = ("rap", "bn", "ras", "rcm")
+
+
+def stacked_identity_init(nb_tasks: int, ch: int, dtype=jnp.float32):
+    """Per-task reparameterization matrices [T, C, C], identity-initialized so
+    the RCM block starts exactly equal to the plain nb1d block."""
+    return jnp.broadcast_to(jnp.eye(ch, dtype=dtype), (nb_tasks, ch, ch)).copy()
+
+
+def nb1d_ablation_init(rng, ch: int, dilated: int, nb_tasks: int, variant: str, dtype=jnp.float32):
+    assert variant in ABLATION_VARIANTS, variant
+    r = jax.random.split(rng, 6)
+    bn_tasks = nb_tasks if variant in PER_TASK_BN_VARIANTS else None
+    bn1_p, bn1_s = bn_init(ch, bn_tasks, dtype)
+    bn2_p, bn2_s = bn_init(ch, bn_tasks, dtype)
+    bnk = ("bns1", "bns2") if bn_tasks is not None else ("bn1", "bn2")
+    params = {
+        "conv3x1_1": conv_init(r[0], 3, 1, ch, ch, dtype),
+        "conv1x3_1": conv_init(r[1], 1, 3, ch, ch, dtype),
+        bnk[0]: bn1_p,
+        "conv3x1_2": conv_init(r[2], 3, 1, ch, ch, dtype),
+        "conv1x3_2": conv_init(r[3], 1, 3, ch, ch, dtype),
+        bnk[1]: bn2_p,
+    }
+    if variant == "onlyrap":
+        params["rap1"] = stacked_conv1x1_init(r[4], nb_tasks, ch, dtype)
+        params["rap2"] = stacked_conv1x1_init(r[5], nb_tasks, ch, dtype)
+    elif variant == "ras":
+        params["ser1"] = stacked_conv1x1_init(r[4], nb_tasks, ch, dtype)
+        params["ser2"] = stacked_conv1x1_init(r[5], nb_tasks, ch, dtype)
+    elif variant == "rcm":
+        params["wt1"] = stacked_identity_init(nb_tasks, ch, dtype)
+        params["wt2"] = stacked_identity_init(nb_tasks, ch, dtype)
+    return params, {bnk[0]: bn1_s, bnk[1]: bn2_s}
+
+
+def nb1d_ablation_apply(
+    p: Params, s: State, x, *, variant: str, task: int, dilated: int,
+    dropprob: float, training: bool, rng=None, drop_mask=None,
+):
+    """One ablation-variant nb1d block. Adapter placement mirrors the RAP
+    block's: the first adapter applies around conv pair 1, the second around
+    conv pair 2; parallel adapters tap the segment INPUT (x / mid), while
+    series/RCM transforms apply to the conv pair's OUTPUT."""
+    per_task_bn = variant in PER_TASK_BN_VARIANTS
+    bnk = ("bns1", "bns2") if per_task_bn else ("bn1", "bn2")
+    bt = task if per_task_bn else None
+
+    def adapt(out, seg_in, which: int):
+        if variant == "onlyrap":
+            a = p[f"rap{which}"]
+            return out + conv2d(seg_in, a["w"][task], a["b"][task])
+        if variant == "ras":
+            a = p[f"ser{which}"]
+            return out + conv2d(out, a["w"][task], a["b"][task])
+        if variant == "rcm":
+            wt = p[f"wt{which}"][task].astype(out.dtype)
+            return jax.lax.dot_general(out, wt, (((3,), (0,)), ((), ())))
+        return out  # "bn": no adapter
+
+    out = jax.nn.relu(conv2d(x, p["conv3x1_1"]["w"], p["conv3x1_1"]["b"], padding=(1, 0)))
+    out = conv2d(out, p["conv1x3_1"]["w"], p["conv1x3_1"]["b"], padding=(0, 1))
+    out = adapt(out, x, 1)
+    out, bn1_s = _bn_apply(p[bnk[0]], s[bnk[0]], out, task=bt, training=training)
+    mid = jax.nn.relu(out)
+    out = jax.nn.relu(
+        conv2d(mid, p["conv3x1_2"]["w"], p["conv3x1_2"]["b"], padding=(dilated, 0), dilation=(dilated, 1))
+    )
+    out = conv2d(out, p["conv1x3_2"]["w"], p["conv1x3_2"]["b"], padding=(0, dilated), dilation=(1, dilated))
+    out = adapt(out, mid, 2)
+    out, bn2_s = _bn_apply(p[bnk[1]], s[bnk[1]], out, task=bt, training=training)
+    out = dropout2d(out, dropprob, rng, training=training, mask=drop_mask)
+    return jax.nn.relu(out + x), {bnk[0]: bn1_s, bnk[1]: bn2_s}
+
+
+# ---------------------------------------------------------------------------
 # Fused training block (Pallas): whole nb1d / nb1d_RAP in 4 fused conv-pair
 # kernels + XLA batch-stat glue (ops/pallas/nb1d_train.py)
 # ---------------------------------------------------------------------------

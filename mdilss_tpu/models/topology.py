@@ -65,18 +65,28 @@ def _stack_group(inits: list[tuple[Any, Any]]):
     return params, states
 
 
-def encoder_init(rng, *, rap: bool, nb_tasks: int | None, dtype):
+def encoder_init(rng, *, rap: bool, nb_tasks: int | None, dtype, variant: str | None = None):
     """`rap=True` builds RAP blocks + per-task BN; else plain shared blocks
-    (pass nb_tasks=None)."""
+    (pass nb_tasks=None). `variant` selects an ablation encoder instead
+    (blocks.ABLATION_VARIANTS; overrides `rap`)."""
+    if variant is None:
+        variant = "rap" if rap else "plain"
     rngs = jax.random.split(rng, 16)
 
     def nb_init(r, ch, dil):
-        return B.nb1d_rap_init(r, ch, dil, nb_tasks, dtype) if rap else B.nb1d_init(r, ch, dil, dtype)
+        if variant == "rap":
+            return B.nb1d_rap_init(r, ch, dil, nb_tasks, dtype)
+        if variant == "plain":
+            return B.nb1d_init(r, ch, dil, dtype)
+        return B.nb1d_ablation_init(r, ch, dil, nb_tasks, variant, dtype)
 
-    init_p, init_s = B.downsampler_init(rngs[0], 3, 16, nb_tasks, dtype)
-    down1_p, down1_s = B.downsampler_init(rngs[1], 16, 64, nb_tasks, dtype)
+    # downsampler BN (the reference's `bn_ini`) is task-stacked exactly when
+    # the variant's BN is per-task; onlyrap keeps it shared
+    ds_tasks = nb_tasks if variant in B.PER_TASK_BN_VARIANTS else None
+    init_p, init_s = B.downsampler_init(rngs[0], 3, 16, ds_tasks, dtype)
+    down1_p, down1_s = B.downsampler_init(rngs[1], 16, 64, ds_tasks, dtype)
     g64_p, g64_s = _stack_group([nb_init(rngs[2 + i], 64, 1) for i in range(5)])
-    down2_p, down2_s = B.downsampler_init(rngs[7], 64, 128, nb_tasks, dtype)
+    down2_p, down2_s = B.downsampler_init(rngs[7], 64, 128, ds_tasks, dtype)
     # group128: [2] x chain over the 4 dilations; one dict entry per dilation
     g128 = {}
     g128_s = {}
@@ -156,7 +166,7 @@ def _group_masks(rng, shape, keep: float):
 def encoder_apply(
     params, state, x, *, rap: bool, task: int | None, training: bool, rng=None,
     remat: bool = False, fused_infer: bool = False, drop_masks: dict | None = None,
-    fused_train: bool = False, input_folded: bool = False,
+    fused_train: bool = False, input_folded: bool = False, variant: str | None = None,
 ) -> tuple[Any, Any]:
     """Run the encoder. `task` must be a static int for RAP encoders.
 
@@ -166,13 +176,22 @@ def encoder_apply(
     Pallas conv-pair kernels with a custom VJP (ops/pallas/nb1d_train.py).
     `input_folded=True` means x is `blocks.fold_input(raw)` — train steps fold
     the batch once and share it across all their forwards.
+    `variant` selects an ablation encoder (XLA path only).
     """
+    if variant is None:
+        variant = "rap" if rap else "plain"
+    if variant not in ("rap", "plain") and (fused_infer or fused_train):
+        raise ValueError(
+            f"fused paths cover the rap/plain encoders only, not {variant!r}"
+        )
+    # onlyrap's downsampler BN is shared; other task-stacked variants index it
+    ds_task = task if variant in B.PER_TASK_BN_VARIANTS else None
     fused = fused_infer and not training
     ftrain = fused_train and training
     r = list(jax.random.split(rng, 2)) if rng is not None else [None, None]
-    out, init_s = B.downsampler_apply(params["initial"], state["initial"], x, task=task,
+    out, init_s = B.downsampler_apply(params["initial"], state["initial"], x, task=ds_task,
                                       training=training, x_folded=input_folded)
-    out, down1_s = B.downsampler_apply(params["down1"], state["down1"], out, task=task, training=training)
+    out, down1_s = B.downsampler_apply(params["down1"], state["down1"], out, task=ds_task, training=training)
 
     def nb_apply(p, s, xin, dil, drop, mask):
         if fused:
@@ -188,13 +207,18 @@ def encoder_apply(
             return B.nb1d_fused_train_apply(
                 p, s, xin, task=task, dilated=dil, dropprob=drop, drop_mask=mask,
             )
-        if rap:
+        if variant == "rap":
             return B.nb1d_rap_apply(
                 p, s, xin, task=task, dilated=dil, dropprob=drop, training=training,
                 drop_mask=mask,
             )
-        return B.nb1d_apply(
-            p, s, xin, dilated=dil, dropprob=drop, training=training, drop_mask=mask
+        if variant == "plain":
+            return B.nb1d_apply(
+                p, s, xin, dilated=dil, dropprob=drop, training=training, drop_mask=mask
+            )
+        return B.nb1d_ablation_apply(
+            p, s, xin, variant=variant, task=task, dilated=dil, dropprob=drop,
+            training=training, drop_mask=mask,
         )
 
     # ---- group64: scan over 5 identical nb(64, .03, 1) blocks ----
@@ -214,7 +238,7 @@ def encoder_apply(
     out, g64_s = _scan_blocks(body64, out, params["group64"], state["group64"], masks64,
                               training=training, unroll=fused or ftrain)
 
-    out, down2_s = B.downsampler_apply(params["down2"], state["down2"], out, task=task, training=training)
+    out, down2_s = B.downsampler_apply(params["down2"], state["down2"], out, task=ds_task, training=training)
 
     # ---- group128: scan [2] x chain(d2, d4, d8, d16) ----
     if drop_masks is not None and training:

@@ -28,7 +28,7 @@ from ..config import TrainConfig
 from ..data import CLASS_WEIGHTS, Loader, SyntheticSource, make_source
 from ..data.transforms import augment_batch, prepare_batch
 from ..metrics import IoUEvaluator
-from ..models import erfnet_multihead, erfnet_rap
+from ..models import erfnet_ablations, erfnet_multihead, erfnet_rap
 from ..parallel import jit_distill_step, jit_eval_step, jit_train_step, make_mesh, replicate, shard_batch
 from ..utils.logging import MetricLogger, getColorEntry
 from .optim import poly_lr_factor
@@ -38,10 +38,15 @@ from ..losses import kld_corrected, kld_faithful
 
 
 def _model_module(name: str):
+    """Returns (module, task_stacked): task_stacked models take
+    (rng, num_classes, nb_tasks) in init and carry task-stacked DS leaves
+    (the RAP model and the reconstructed ablation variants)."""
     if name == "erfnet_RA_parallel":
         return erfnet_rap, True
     if name in ("erfnet_multi_task", "erfnet_ftp1", "erfnet_ftp2"):
         return erfnet_multihead, False
+    if name in erfnet_ablations.REFERENCE_NAMES:
+        return erfnet_ablations.model_module(erfnet_ablations.REFERENCE_NAMES[name]), True
     raise ValueError(f"unknown model {name!r}")
 
 
@@ -218,7 +223,12 @@ class Trainer:
         cur = cfg.current_task
         cur_ds = cfg.datasets[cur]
 
-        if self.is_rap:
+        if self.is_rap and getattr(self.model, "variant", None):
+            lr_tree = masks.ablation_lr_tree(
+                self.ts.params, variant=self.model.variant, current_task=cur,
+                shared_lr=cfg.shared_lr_value(), ds_lr=cfg.lr,
+            )
+        elif self.is_rap:
             lr_tree = masks.rap_lr_tree(
                 self.ts.params, current_task=cur,
                 shared_lr=cfg.shared_lr_value(), ds_lr=cfg.lr,

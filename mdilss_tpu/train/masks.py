@@ -89,6 +89,74 @@ def rap_lr_tree(params, *, current_task: int, shared_lr: float, ds_lr: float):
     return {"encoder": enc_lr, "decoders": dec_lr}
 
 
+def ablation_lr_tree(params, *, variant: str, current_task: int, shared_lr: float, ds_lr: float):
+    """LR tree for the reconstructed ablation models (models/erfnet_ablations).
+
+    Mirrors the reference's per-variant freeze rules
+    (train_RAPFT_step1.py:176-242): shared encoder convs at `shared_lr`;
+    the current task's DS slices (per-task BN rows and/or adapter slices per
+    variant) and the current decoder at `ds_lr`; other tasks' DS slices and
+    decoders frozen. Two documented judgment calls where the reference
+    snippets are loose (the model files are absent upstream):
+      * onlyrap: BN is shared — the freeze code never touches BN names, which
+        leaves them requires_grad=True; here shared BN moves with the shared
+        group (`shared_lr`), consistent with how shared convs are treated.
+      * ras: the snippet also never gates the series-adapter conv names
+        (only 'bn' ones), which would leave OLD tasks' adapters training;
+        that contradicts the method's freeze-previous-domains contract, so
+        old-task adapters are frozen here like RAP's.
+    """
+    from ..models.blocks import PER_TASK_BN_VARIANTS
+
+    enc = params["encoder"]
+    per_task_bn = variant in PER_TASK_BN_VARIANTS
+    nb = len(params["decoders"])
+
+    def ds_leaf(leaf, axis):
+        return _task_col(nb, current_task, ds_lr, axis, leaf.ndim)
+
+    def down_lrs(p):
+        bn = (
+            {k: ds_leaf(p["bn"][k], 0) for k in ("scale", "bias")}
+            if per_task_bn
+            else _const_tree(p["bn"], shared_lr)
+        )
+        return {"conv": _const_tree(p["conv"], shared_lr), "bn": bn}
+
+    adapter_keys = {
+        "bn": (), "onlyrap": ("rap1", "rap2"),
+        "ras": ("ser1", "ser2"), "rcm": ("wt1", "wt2"),
+    }[variant]
+
+    def nb_lrs(p):
+        out = {}
+        for k, v in p.items():
+            if k.startswith("conv"):
+                out[k] = _const_tree(v, shared_lr)
+            elif k in ("bns1", "bns2"):
+                out[k] = {kk: ds_leaf(v[kk], 1) for kk in ("scale", "bias")}
+            elif k in ("bn1", "bn2"):  # onlyrap: shared BN
+                out[k] = _const_tree(v, shared_lr)
+            elif k in adapter_keys:
+                out[k] = jax.tree.map(lambda a: ds_leaf(a, 1), v)
+            else:
+                raise KeyError(f"unexpected leaf {k!r} in {variant} block")
+        return out
+
+    enc_lr = {
+        "initial": down_lrs(enc["initial"]),
+        "down1": down_lrs(enc["down1"]),
+        "group64": nb_lrs(enc["group64"]),
+        "down2": down_lrs(enc["down2"]),
+        "group128": {dk: nb_lrs(enc["group128"][dk]) for dk in enc["group128"]},
+    }
+    dec_lr = [
+        _const_tree(d, ds_lr if t == current_task else 0.0)
+        for t, d in enumerate(params["decoders"])
+    ]
+    return {"encoder": enc_lr, "decoders": dec_lr}
+
+
 def multihead_lr_tree(
     params,
     *,

@@ -24,12 +24,13 @@ import jax
 from ..ckpt import (
     convert_state_dict,
     extend_for_new_task,
+    graft_shared_encoder,
     load_imagenet_encoder,
     load_pth_tar,
     orbax_io,
 )
 from ..config import TrainConfig
-from ..models import erfnet_multihead, erfnet_rap
+from ..models import erfnet_ablations, erfnet_multihead, erfnet_rap
 from . import steps
 from .loop import Trainer
 
@@ -45,6 +46,13 @@ def _load_params(path: str, *, kind: str, nb_tasks: int, num_classes, seed=0):
         if kind == "rap":
             template_p, template_b = erfnet_rap.init(
                 jax.random.key(seed), list(num_classes), nb_tasks
+            )
+        elif kind in erfnet_ablations.REFERENCE_NAMES:
+            # ablation variants exist only as this framework's Orbax runs
+            # (no torch grammar; models/erfnet_ablations.py docstring)
+            template_p, template_b = erfnet_ablations.init(
+                jax.random.key(seed), list(num_classes), nb_tasks,
+                variant=erfnet_ablations.REFERENCE_NAMES[kind],
             )
         else:
             # erfnet / ftp1 / ftp2 / multi_task runs all checkpoint the
@@ -100,14 +108,36 @@ def _build_plain(cfg: TrainConfig) -> Trainer:
     return Trainer(cfg, init_params=params, init_bn=bn)
 
 
+def _is_ablation(cfg: TrainConfig) -> bool:
+    return cfg.model in erfnet_ablations.REFERENCE_NAMES
+
+
+def _task_stacked_init(cfg: TrainConfig, rng, num_classes, nb_tasks):
+    """Fresh params for the step1/2/3 model family: RAP or an ablation
+    variant (train_RAPFT_step1.py:451-460 factory)."""
+    if _is_ablation(cfg):
+        return erfnet_ablations.init(
+            rng, list(num_classes), nb_tasks,
+            variant=erfnet_ablations.REFERENCE_NAMES[cfg.model],
+        )
+    return erfnet_rap.init(rng, list(num_classes), nb_tasks)
+
+
 def _build_step1(cfg: TrainConfig) -> Trainer:
-    params, bn = erfnet_rap.init(jax.random.key(cfg.seed), list(cfg.num_classes), 1)
+    params, bn = _task_stacked_init(cfg, jax.random.key(cfg.seed), cfg.num_classes, 1)
+    kind = cfg.model if _is_ablation(cfg) else "rap"
     src = cfg.pretrained_encoder or cfg.state
     if src and os.path.isdir(src):
-        # full Orbax checkpoint of a 1-task RAP run (e.g. a pipeline rerun)
+        # full Orbax checkpoint of a 1-task run (e.g. a pipeline rerun)
         params, bn = _load_params(
-            src, kind="rap", nb_tasks=1, num_classes=cfg.num_classes, seed=cfg.seed
+            src, kind=kind, nb_tasks=1, num_classes=cfg.num_classes, seed=cfg.seed
         )
+    elif src and _is_ablation(cfg):
+        # no torch grammar for the reconstructed variants: load the ImageNet
+        # encoder into a RAP template, then graft the shared convs
+        tpl_p, tpl_b = erfnet_rap.init(jax.random.key(cfg.seed), list(cfg.num_classes), 1)
+        tpl_p, _ = load_imagenet_encoder(tpl_p, tpl_b, load_pth_tar(src), kind="rap")
+        params = graft_shared_encoder(params, tpl_p["encoder"])
     elif src:
         sd = load_pth_tar(src)
         params, bn = load_imagenet_encoder(params, bn, sd, kind="rap")
@@ -116,14 +146,15 @@ def _build_step1(cfg: TrainConfig) -> Trainer:
 
 def _build_incremental(cfg: TrainConfig) -> Trainer:
     nb_prev = len(cfg.num_classes) - 1
+    kind = cfg.model if _is_ablation(cfg) else "rap"
     if cfg.state:
         prev_p, prev_b = _load_params(
-            cfg.state, kind="rap", nb_tasks=nb_prev,
+            cfg.state, kind=kind, nb_tasks=nb_prev,
             num_classes=cfg.num_classes[:nb_prev], seed=cfg.seed,
         )
     else:  # smoke runs without a real previous checkpoint
-        prev_p, prev_b = erfnet_rap.init(
-            jax.random.key(cfg.seed + 1), list(cfg.num_classes[:nb_prev]), nb_prev
+        prev_p, prev_b = _task_stacked_init(
+            cfg, jax.random.key(cfg.seed + 1), cfg.num_classes[:nb_prev], nb_prev
         )
     import jax.numpy as jnp
 
