@@ -192,6 +192,30 @@ def main(argv=None):
     pw.add_argument("--max-images", type=int, default=None)
     pw.add_argument("--data-root", action="append", default=[], metavar="NAME=PATH")
 
+    px = sub.add_parser(
+        "export",
+        help="export per-head self-contained StableHLO serving artifacts "
+             "(jax.export; params baked in, no model code needed at serving time)",
+    )
+    px.add_argument("ckpt", help=".pth.tar or Orbax dir")
+    px.add_argument("out_dir")
+    px.add_argument("--kind", choices=("rap", "erfnet", "multi_task", "ftp1", "ftp2",
+                                       "erfnet_bn", "erfnet_onlyRAP",
+                                       "erfnet_RA_series", "erfnet_RCM"),
+                    default="rap")
+    px.add_argument("--num-classes", type=int, nargs="+", default=[20, 20, 27])
+    px.add_argument("--tasks", type=int, nargs="+", default=None,
+                    help="head indices to export (default: all)")
+    px.add_argument("--batch-size", type=int, default=1,
+                    help="0 exports a symbolic (shape-polymorphic) batch dim")
+    px.add_argument("--height", type=int, default=512)
+    px.add_argument("--width", type=int, default=1024)
+    px.add_argument("--output", choices=("logits", "labels"), default="logits",
+                    help="'labels' bakes the argmax in (int32 maps; ~40x "
+                         "smaller device->host per image)")
+    px.add_argument("--dtype", choices=("bfloat16", "float32"), default="bfloat16")
+    px.add_argument("--platforms", nargs="+", default=["cpu", "tpu"])
+
     pc = sub.add_parser("convert", help="convert .pth.tar <-> framework params")
     pc.add_argument("src")
     pc.add_argument("dst")
@@ -317,6 +341,19 @@ def main(argv=None):
         w = compute_class_weights(labels(), source.num_classes, q=args.q)
         print(json.dumps({"dataset": args.dataset, "n_images": len(pairs),
                           "weights": [round(float(v), 6) for v in w]}))
+        return
+
+    if args.cmd == "export":
+        from .serving import export_checkpoint
+
+        meta = export_checkpoint(
+            args.ckpt, kind=args.kind, num_classes=args.num_classes,
+            out_dir=args.out_dir, tasks=args.tasks,
+            height=args.height, width=args.width,
+            batch_size=args.batch_size or None, output=args.output,
+            compute_dtype=args.dtype, platforms=tuple(args.platforms),
+        )
+        print(json.dumps(meta))
         return
 
     if args.cmd == "convert":
