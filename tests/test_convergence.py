@@ -59,3 +59,16 @@ def test_step3_two_phase_converges(tmp_path):
     final = tr.fit()
     assert tr.best_acc >= 0.30, f"val mIoU {tr.best_acc:.4f} below convergence gate"
     assert np.isfinite(final["train_kld"])
+
+
+def test_ablation_bn_step1_converges(tmp_path):
+    """The reconstructed DSBN-only variant must learn on the learnable
+    synthetic set (same trainer, different DS surface). It converges slower
+    than RAP — no adapter capacity. Calibration (this config, seed 0, CPU):
+    0.237 @ epoch 40, 0.361 @ 50, 0.440 @ 60; broken-trainer floor ~0.10-0.14,
+    so the 0.25 gate is ~2x above floor and under the healthy trajectory."""
+    cfg = C.step1(num_epochs=60, eval_every=20, savedir=str(tmp_path / "run"),
+                  num_classes=(6,), model="erfnet_bn", **LEARN)
+    tr = build_trainer(cfg)
+    tr.fit()
+    assert tr.best_acc >= 0.25, f"val mIoU {tr.best_acc:.4f} below convergence gate"

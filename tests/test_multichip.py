@@ -203,3 +203,33 @@ def test_graft_entry_single():
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     assert out.shape == (1, 512, 1024, 27)
+
+
+def test_sharded_ablation_distill_step(setup):
+    """The reconstructed ablation variants run the distill step under the
+    data x spatial mesh too (sync-BN reductions over per-task slices)."""
+    from mdilss_tpu.models import erfnet_ablations as A
+
+    mesh = make_mesh(8, spatial=2)
+    mod = A.model_module("bn")
+    s_params, s_bn = mod.init(jax.random.key(0), [6, 6], 2)
+    t_params, t_bn = mod.init(jax.random.key(1), [6], 1)
+    lr_tree = masks.ablation_lr_tree(
+        s_params, variant="bn", current_task=1, shared_lr=5e-6, ds_lr=5e-4
+    )
+    w = np.ones(6, np.float32)
+    step = steps.make_distill_step(
+        mod.apply, current_task=1, prev_tasks=(0,),
+        class_weight=w, lr_tree=lr_tree, num_epochs=10,
+    )
+    sharded = jit_distill_step(step, mesh)
+    ts = replicate(mesh, steps.init_train_state(s_params, s_bn))
+    teacher = replicate(mesh, steps.ModelState(t_params, t_bn))
+    rng = np.random.default_rng(7)
+    x, y = shard_batch(
+        mesh,
+        rng.random((8, 32, 64, 3), np.float32),
+        rng.integers(0, 6, size=(8, 32, 64)).astype(np.int32),
+    )
+    ts, m = sharded(ts, teacher, x, y, None, jax.random.key(3), 1)
+    assert np.isfinite(float(m["loss"]))
