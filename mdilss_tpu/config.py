@@ -58,7 +58,10 @@ class TrainConfig:
     remat: bool = False
     compute_dtype: str = "float32"  # | bfloat16
     fused_train: bool = False  # experimental: Pallas fused training blocks
-    device_cache: str = "auto"  # "auto" | "off": whole-dataset uint8 HBM cache
+    # "auto" | "off" | explicit byte budget (e.g. "8589934592"): device-
+    # resident uint8 dataset cache; datasets over budget cache partially
+    # (data/device_cache.py HybridCache) on a single device, shard on a mesh
+    device_cache: str = "auto"
     spatial_shards: int = 1
     log_images: bool = False
 
@@ -116,10 +119,10 @@ def multitask(**kw) -> TrainConfig:
     """Joint multi-task baseline over all three domains."""
     kw.setdefault("eval_every", 5)  # ref validates every 5 epochs
     kw.setdefault("eval_old_every", 5)  # ... all domains at the same cadence
+    kw.setdefault("datasets", ("cityscapes", "BDD", "IDD"))
+    kw.setdefault("num_classes", (20, 20, 27))
     return TrainConfig(
-        protocol="multitask", model="erfnet_multi_task",
-        datasets=("cityscapes", "BDD", "IDD"), num_classes=(20, 20, 27),
-        current_task=0, **kw,
+        protocol="multitask", model="erfnet_multi_task", current_task=0, **kw,
     )
 
 
@@ -127,11 +130,11 @@ def ft_step(n_heads: int = 2, finetune: bool = True, **kw) -> TrainConfig:
     """Fine-tuning baselines: 2 heads (ftp1) or 3 heads (ftp2);
     finetune=False => feature extraction (new head only)."""
     model = "erfnet_ftp1" if n_heads == 2 else "erfnet_ftp2"
-    datasets = ("cityscapes", "BDD", "IDD")[:n_heads]
-    ncls = (20, 20, 27)[:n_heads]
+    kw.setdefault("datasets", ("cityscapes", "BDD", "IDD")[:n_heads])
+    kw.setdefault("num_classes", (20, 20, 27)[:n_heads])
     return TrainConfig(
         protocol="ft" if finetune else "fe", model=model,
-        datasets=datasets, num_classes=ncls, current_task=n_heads - 1, **kw,
+        current_task=n_heads - 1, **kw,
     )
 
 
@@ -141,8 +144,8 @@ def singletask(dataset: str = "cityscapes", **kw) -> TrainConfig:
     Everything trainable at the base LR."""
     from .data.sources import DATASET_NUM_CLASSES
 
+    kw.setdefault("datasets", (dataset,))
+    kw.setdefault("num_classes", (DATASET_NUM_CLASSES[dataset],))
     return TrainConfig(
-        protocol="singletask", model="erfnet_multi_task",
-        datasets=(dataset,), num_classes=(DATASET_NUM_CLASSES[dataset],),
-        current_task=0, **kw,
+        protocol="singletask", model="erfnet_multi_task", current_task=0, **kw,
     )

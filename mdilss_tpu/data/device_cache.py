@@ -115,8 +115,146 @@ class DeviceCache:
         return jnp.take(self.images, di, axis=0), jnp.take(self.labels, di, axis=0)
 
 
+def _jit_cached(fn):
+    import jax
+
+    return jax.jit(fn)
+
+
+@_jit_cached
+def _gather(images, labels, di):
+    import jax.numpy as jnp
+
+    return jnp.take(images, di, axis=0), jnp.take(labels, di, axis=0)
+
+
+@_jit_cached
+def _gather_scatter(images, labels, di, pos, up_imgs, up_lbls):
+    import jax.numpy as jnp
+
+    # uncached positions gather a clipped dummy row, then get overwritten
+    imgs = jnp.take(images, di, axis=0).at[pos].set(up_imgs)
+    lbls = jnp.take(labels, di, axis=0).at[pos].set(up_lbls)
+    return imgs, lbls
+
+
 def should_cache(source, *, height: int, width: int, budget_bytes: int) -> bool:
     """Fit heuristic: cache when the uint8 dataset fits in `budget_bytes`
     (applies to synthetic sources too, so device_cache='off' -> budget 0
     genuinely disables caching everywhere)."""
     return cache_bytes(len(source), height, width) <= budget_bytes
+
+
+def plan_cache(source, *, height: int, width: int, budget_bytes: int,
+               batch_size: int = 1):
+    """Cache-mode decision: ("full", n) when the whole uint8 dataset fits in
+    `budget_bytes`; ("hybrid", k) caching the k = budget // row_bytes rows
+    that fit (IDD's ~14.7 GB vs a one-v5e ~8 GB budget lands here); otherwise
+    ("stream", 0). Hybrid needs at least one batch's worth of cached rows to
+    be worth the per-batch scatter."""
+    n = len(source)
+    row = height * width * 4
+    if n * row <= budget_bytes:
+        return "full", n
+    k = int(budget_bytes // row)
+    if k >= max(batch_size, 1):
+        return "hybrid", min(k, n)
+    return "stream", 0
+
+
+class HybridCache:
+    """Partial device cache for datasets that exceed the device budget.
+
+    Rows [0, max_rows) live on device as uint8 (decoded once, like
+    DeviceCache); rows >= max_rows decode host-side each epoch in a
+    background thread and are scattered into the gathered batch on device.
+    Epoch batch order/content is IDENTICAL to the streaming Loader and to a
+    full DeviceCache at the same (seed, epoch) — all three batch through
+    `loader.batch_indices` — so switching cache modes never changes the
+    training trajectory (tests/test_device_cache.py).
+
+    Per-step H2D drops from a full batch to only the batch's uncached rows
+    (expected fraction 1 - max_rows/n); the device-side combine is one gather
+    plus one scatter of <= batch_size rows. The combine compiles at most
+    batch_size+1 trivial variants (one per uncached-row count). Single-device
+    only: on a mesh the full dataset shards across the data axis and fits
+    (DeviceCache(mesh=...)), which is strictly better than hybrid.
+    """
+
+    def __init__(self, loader: Loader, max_rows: int):
+        import jax
+
+        assert 0 < max_rows < len(loader.source), (max_rows, len(loader.source))
+        self.loader = loader
+        self.batch_size = loader.batch_size
+        self.n = len(loader.source)
+        self.k = int(max_rows)
+        h, w = loader.height, loader.width
+        images = np.empty((self.k, h, w, 3), np.uint8)
+        labels = np.empty((self.k, h, w), np.uint8)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(loader.num_threads) as pool:
+            for i, (img, lbl) in enumerate(pool.map(loader._decode, range(self.k))):
+                images[i] = img
+                labels[i] = lbl
+        self.images = jax.device_put(images)
+        self.labels = jax.device_put(labels)
+
+    def epoch_batches(self, epoch: int, *, shuffle: bool = True):
+        """Yields (images, labels, valid) device batches; order identical to
+        the streaming Loader at the same (seed, epoch). Host decode of the
+        uncached rows runs in a producer thread (bounded queue) so it overlaps
+        the device compute of preceding batches."""
+        import queue
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        import jax
+
+        plan = list(batch_indices(
+            self.n, self.batch_size, seed=self.loader.seed, epoch=epoch,
+            shuffle=shuffle, drop_last=shuffle,
+        ))
+        q: queue.Queue = queue.Queue(maxsize=3)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.loader.num_threads) as pool:
+                for idx, valid in plan:
+                    if stop.is_set():
+                        return
+                    pos = np.where(idx >= self.k)[0]
+                    if len(pos):
+                        pairs = list(pool.map(self.loader._decode, idx[pos]))
+                        up_imgs = np.stack([p[0] for p in pairs])
+                        up_lbls = np.stack([p[1] for p in pairs])
+                        # async H2D: rides under the device compute of the
+                        # batches already queued ahead of this one
+                        up = (jax.device_put(up_imgs), jax.device_put(up_lbls))
+                    else:
+                        up = None
+                    q.put((idx, valid, pos, up))
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                idx, valid, pos, up = item
+                yield (*self._combine(idx, pos, up), valid)
+        finally:
+            stop.set()
+
+    def _combine(self, idx: np.ndarray, pos: np.ndarray, up):
+        # ONE jitted dispatch per batch (per-op eager dispatch is expensive
+        # on remote-tunnel backends); retraces once per distinct
+        # uncached-row count, i.e. <= batch_size+1 trivial programs total
+        di = np.minimum(idx, self.k - 1).astype(np.int32)
+        if len(pos):
+            return _gather_scatter(self.images, self.labels, di,
+                                   pos.astype(np.int32), up[0], up[1])
+        return _gather(self.images, self.labels, di)

@@ -133,6 +133,8 @@ class Trainer:
         50% of the device's reported memory limit, else a platform default."""
         if self.cfg.device_cache == "off":
             return 0
+        if self.cfg.device_cache not in ("auto", "on"):
+            return int(self.cfg.device_cache)  # explicit byte budget
         try:
             stats = jax.local_devices()[0].memory_stats() or {}
             limit = int(stats.get("bytes_limit", 0))
@@ -149,25 +151,48 @@ class Trainer:
     def _cache_for(self, dataset: str, subset: str):
         """Device cache for (dataset, subset) if enabled and it fits; the
         budget is claimed greedily across datasets, streaming otherwise."""
-        from ..data.device_cache import DeviceCache, cache_bytes, should_cache
+        from ..data.device_cache import DeviceCache, HybridCache, cache_bytes, plan_cache
 
         caches = self._train_caches if subset == "train" else self._val_caches
         if dataset in caches:
             return caches[dataset]
         loaders = self.train_loaders if subset == "train" else self.val_loaders
         ld = loaders.get(dataset)
-        if ld is None or not should_cache(
-            ld.source, height=ld.height, width=ld.width, budget_bytes=self._cache_budget
-        ):
+        if ld is None:
+            caches[dataset] = None
+            return None
+        # on a multi-device mesh the dataset shards over the data axis, so the
+        # effective budget multiplies by the data-parallel degree (BDD/IDD fit
+        # a v4-8 4-way sharded where one chip would need the hybrid mode)
+        meshed = self.mesh is not None and self.mesh.devices.size > 1
+        budget = self._cache_budget * (self.mesh.shape["data"] if meshed else 1)
+        mode, rows = plan_cache(
+            ld.source, height=ld.height, width=ld.width, budget_bytes=budget,
+            batch_size=ld.batch_size,
+        )
+        if mode == "stream" or (mode == "hybrid" and meshed):
+            # hybrid is single-device-only; a meshed run that still exceeds
+            # the sharded budget streams (and says so)
+            if mode == "hybrid":
+                print(f"device cache for {dataset}/{subset}: dataset exceeds "
+                      f"even the mesh-sharded budget; streaming")
             caches[dataset] = None
             return None
         try:
-            cache = DeviceCache(ld, mesh=self.mesh)
+            if mode == "full":
+                cache = DeviceCache(ld, mesh=self.mesh)
+            else:
+                print(f"device cache for {dataset}/{subset}: partial — "
+                      f"{rows}/{len(ld.source)} rows cached "
+                      f"({100 * rows // len(ld.source)}%), remainder streams")
+                cache = HybridCache(ld, rows)
         except Exception as e:  # e.g. device OOM: fall back to streaming
             print(f"device cache for {dataset}/{subset} disabled: {e}")
             cache = None
         if cache is not None:
-            self._cache_budget -= cache_bytes(len(ld.source), ld.height, ld.width)
+            self._cache_budget -= cache_bytes(rows, ld.height, ld.width) // (
+                self.mesh.shape["data"] if meshed else 1
+            )
         caches[dataset] = cache
         return cache
 
