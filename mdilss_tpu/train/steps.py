@@ -219,10 +219,24 @@ def make_two_phase_distill_step(
     kld_fn=kld_faithful,
     weight_decay: float = 1e-4,
     iou_train: bool = False,
+    teacher_training: bool = True,
 ):
     """Faithful step-3 trajectory: backward+Adam on CE, then backward+Adam on
     lambda_c * (sum of previous-task KLDs) against the updated weights —
     two optimizer steps per batch (train_new_task_step3.py:317-356).
+
+    `teacher_training=True` (default) reproduces a subtle reference detail:
+    unlike step 2 (model_old.eval(), train_new_task_step2.py:272), the step-3
+    trainer NEVER switches the teacher to eval mode — model_old stays in its
+    construction-time train mode (train_new_task_step3.py:534-549, no .eval()
+    anywhere), so its BN normalizes with the CURRENT BATCH's statistics, not
+    running stats. That is what produced the paper numbers, so it is the
+    default here; the teacher's running-stat buffers do update in the
+    reference but are never read (the teacher is never evaluated) and are
+    therefore not threaded out. The reference teacher also had ACTIVE dropout
+    (another train-mode consequence) — a pure noise source on the KD target
+    that is not reproduced (our teacher forward gets no dropout rng);
+    `teacher_training=False` gives the step-2-style eval-mode teacher.
 
     step(ts, teacher, images, labels, rng, epoch) -> (ts', metrics)
     """
@@ -260,7 +274,10 @@ def make_two_phase_distill_step(
                     )
                 )
                 s_logits, bn = prev_fwd(p, bn, images, rngs[1 + i], mask_list[1 + i])
-                t_logits, _ = t_apply(teacher.params, teacher.bn, images, t, training=False,
+                # teacher_training=True: batch-stat BN, updated stats discarded
+                # (never read by the reference either); no dropout rng
+                t_logits, _ = t_apply(teacher.params, teacher.bn, images, t,
+                                      training=teacher_training, rng=None,
                                       packed_head=True, input_folded=folded)
                 kld = kld + kld_fn(s_logits, jax.lax.stop_gradient(t_logits))
             return lambda_c * kld, (bn, kld)

@@ -37,6 +37,7 @@ def ref_mod():
     return load_reference_module("models/erfnet_RA_parallel.py")
 
 
+@pytest.mark.slow
 def test_step2_trajectory_matches_torch_oracle(ref_mod, rng):
     C = 20
     student_t = ref_mod.Net([C, C], nb_tasks=2, cur_task=1)
@@ -197,6 +198,136 @@ def test_step2_trajectory_matches_torch_oracle(ref_mod, rng):
             # group/lr/wd) affect most elements, not the noisy ~1%, and are
             # caught by the gradient check above
             np.testing.assert_allclose(got_final[k], v, atol=2.5e-3, err_msg=k)
+
+
+@pytest.mark.slow
+def test_step3_two_phase_trajectory_matches_torch_oracle(ref_mod, rng):
+    """Trajectory parity for the faithful step-3 protocol: CE backward+Adam,
+    then lambda_c * (KLD_bdd + KLD_cs) backward+Adam against the already-
+    updated weights — two optimizer steps per batch with torch-1.x zeroed-grad
+    weight-decay semantics (train_new_task_step3.py:317-356). The teacher
+    stays in TRAIN mode (batch-stat BN): the reference never calls
+    model_old.eval() in step 3 (unlike step 2's :272), so that is the faithful
+    semantics and our `teacher_training=True` default."""
+    C, C3 = 6, 8
+    student_t = ref_mod.Net([C, C, C3], nb_tasks=3, cur_task=2)
+    teacher_t = ref_mod.Net([C, C], nb_tasks=2, cur_task=1)
+    student_t.train()
+    # NO teacher_t.eval(): faithful to the reference's step-3 trainer
+    _disable_dropout(student_t)
+    _disable_dropout(teacher_t)
+
+    s_params, s_bn = convert_state_dict(_np_state_dict(student_t), kind="rap", nb_tasks=3)
+    t_params, t_bn = convert_state_dict(_np_state_dict(teacher_t), kind="rap", nb_tasks=2)
+
+    weight = rng.random(C3, dtype=np.float32) * 5 + 0.5
+    weight[C3 - 1] = 0.0
+
+    # ---- torch oracle: two param groups exactly as the reference builds them
+    # (train_new_task_step3.py:96-106,260-270) ----
+    shared, ds = [], []
+    for n, p in student_t.named_parameters():
+        if "encoder" in n and "parallel_conv" not in n and "bn" not in n:
+            shared.append(p)
+        elif "decoder.2" in n or (
+            "encoder" in n
+            and ("bn" in n or "parallel_conv" in n)
+            and (".2.weight" in n or ".2.bias" in n)
+        ):
+            ds.append(p)
+    topt = torch.optim.Adam(
+        [{"params": shared, "lr": 5e-6}, {"params": ds}],
+        5e-4, (0.9, 0.999), eps=1e-8, weight_decay=1e-4,
+    )
+    sched = torch.optim.lr_scheduler.LambdaLR(topt, lambda e: (1 - (e - 1) / 150) ** 0.9)
+    sched.step(1)
+    tw = torch.from_numpy(weight.copy())
+    kl = torch.nn.KLDivLoss()
+
+    batches = [
+        (
+            rng.standard_normal((2, 32, 64, 3), dtype=np.float32),
+            rng.integers(0, C3, size=(2, 32, 64)),
+        )
+        for _ in range(2)
+    ]
+    torch_losses = []
+    for x, y in batches:
+        tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+        ty = torch.from_numpy(y)
+        # phase 1: CE on the current task, backward + step (:327-332)
+        out = student_t(tx, 2)
+        ce = torch.nn.NLLLoss(tw)(F.log_softmax(out, dim=1), ty)
+        # torch-1.x zero_grad() zeroed in place (never set None): emulate so
+        # phase-2's step sees ZERO grads + weight decay for the CE-only params
+        topt.zero_grad(set_to_none=False)
+        ce.backward()
+        topt.step()
+        # phase 2: summed prev-task KLDs against the updated weights (:335-356)
+        out_prev_bdd = student_t(tx, 1)
+        out_prev_cs = student_t(tx, 0)
+        with torch.no_grad():
+            out_prevm_bdd = teacher_t(tx, 1)
+            out_prevm_cs = teacher_t(tx, 0)
+        kld = kl(F.softmax(out_prev_bdd, dim=1), F.softmax(out_prevm_bdd, dim=1)) + kl(
+            F.softmax(out_prev_cs, dim=1), F.softmax(out_prevm_cs, dim=1)
+        )
+        kd = 0.1 * kld
+        topt.zero_grad(set_to_none=False)
+        kd.backward()
+        topt.step()
+        torch_losses.append((ce.item(), kld.item()))
+
+    # ---- our single jitted two-phase step ----
+    lr_tree = masks.rap_lr_tree(s_params, current_task=2, shared_lr=5e-6, ds_lr=5e-4)
+    step = steps.make_two_phase_distill_step(
+        erfnet_rap.apply,
+        current_task=2,
+        prev_tasks=(1, 0),
+        class_weight=jnp.asarray(weight),
+        lr_tree=lr_tree,
+        num_epochs=150,
+        lambda_c=0.1,
+    )
+    ts = steps.init_train_state(s_params, s_bn)
+    teacher = steps.ModelState(t_params, t_bn)
+    our_losses = []
+    for x, y in batches:
+        ts, metrics = step(ts, teacher, jnp.asarray(x), jnp.asarray(y), None, None, 1)
+        our_losses.append((float(metrics["ce"]), float(metrics["kld"])))
+    assert int(ts.opt.count) == 4  # 2 batches x 2 Adam steps each
+
+    # loss parity per phase per batch (batch 2 sees batch 1's Adam noise)
+    np.testing.assert_allclose(our_losses[0][0], torch_losses[0][0], rtol=1e-4)
+    np.testing.assert_allclose(our_losses[0][1], torch_losses[0][1], atol=5e-6)
+    np.testing.assert_allclose(our_losses[1][0], torch_losses[1][0], rtol=2e-3)
+    np.testing.assert_allclose(our_losses[1][1], torch_losses[1][1], atol=5e-5)
+
+    # ---- parameter trajectory ----
+    import re
+
+    ref_final = _np_state_dict(student_t)
+    got_final = export_state_dict(ts.params, ts.bn, kind="rap")
+    initial = export_state_dict(s_params, s_bn, kind="rap")
+    n_frozen = n_trained = 0
+    for k, v in ref_final.items():
+        if "num_batches_tracked" in k:
+            continue
+        frozen = (
+            k.startswith("decoder.0.")
+            or k.startswith("decoder.1.")
+            or re.search(r"(bn_ini|bns_1|bns_2|parallel_conv_1|parallel_conv_2)\.[01]\.", k)
+        ) and "running" not in k
+        if frozen:
+            # frozen params must not move a single ULP in either implementation
+            np.testing.assert_array_equal(got_final[k], initial[k], err_msg=k)
+            np.testing.assert_array_equal(v, initial[k], err_msg=k)
+            n_frozen += 1
+        else:
+            # 4 Adam steps of worst-case sign-noise: 4 * 2 * 5e-4 + margin
+            np.testing.assert_allclose(got_final[k], v, atol=5e-3, err_msg=k)
+            n_trained += 1
+    assert n_frozen > 100 and n_trained > 200
 
 
 def test_distill_step_freeze_semantics(ref_mod):
