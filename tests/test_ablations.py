@@ -193,6 +193,7 @@ def test_surgery_growth(variant):
 
 
 @pytest.mark.parametrize("model", ["erfnet_bn", "erfnet_RCM"])
+@pytest.mark.slow
 def test_step1_trainer_smoke(model, tmp_path):
     """One-epoch step-1 run per (cheap) representative variant."""
     cfg = C.step1(num_epochs=1, savedir=str(tmp_path / "run"), model=model, **TINY)
@@ -201,6 +202,7 @@ def test_step1_trainer_smoke(model, tmp_path):
     assert np.isfinite(final["train_loss"])
 
 
+@pytest.mark.slow
 def test_step2_trainer_distills_bn_variant(tmp_path):
     """DSBN-only incremental step 2: distill step runs and freezes old DS."""
     cfg = C.step2(num_epochs=1, savedir=str(tmp_path / "run"),

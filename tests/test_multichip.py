@@ -81,6 +81,7 @@ def test_spatial_sharding_matches(setup):
     np.testing.assert_allclose(loss1, loss42, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_distill_step_runs(setup):
     params, bn, *_ = setup
     mesh = make_mesh(8, spatial=2)
@@ -120,6 +121,7 @@ def test_sharded_eval_confusion_matrix(setup):
     assert np.asarray(cm).sum() == labels.size  # every pixel counted once
 
 
+@pytest.mark.slow
 def test_sharded_two_phase_distill_step(setup):
     """The faithful step-3 protocol (2 optimizer steps/batch, 5 forwards)
     compiles and runs under the full data x spatial mesh."""
@@ -173,6 +175,7 @@ def test_device_cache_sharded_on_mesh():
         np.testing.assert_array_equal(sl, np.asarray(cl))
 
 
+@pytest.mark.slow
 def test_trainer_epoch_with_cache_on_mesh(tmp_path):
     """Trainer end-to-end on the 8-device mesh with the device cache feeding
     the (donating) jitted step — the cache+mesh interaction in one piece."""
@@ -191,12 +194,14 @@ def test_trainer_epoch_with_cache_on_mesh(tmp_path):
     assert tr._cache_for(cfg.datasets[1], "train") is not None  # cache engaged
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_graft_entry_single():
     import __graft_entry__ as g
 
@@ -205,6 +210,7 @@ def test_graft_entry_single():
     assert out.shape == (1, 512, 1024, 27)
 
 
+@pytest.mark.slow
 def test_sharded_ablation_distill_step(setup):
     """The reconstructed ablation variants run the distill step under the
     data x spatial mesh too (sync-BN reductions over per-task slices)."""

@@ -16,6 +16,7 @@ TINY = dict(synthetic=True, synthetic_size=4, batch_size=2, height=32, width=64,
             num_workers=2, num_epochs=1)
 
 
+@pytest.mark.slow
 def test_pipeline_chains_checkpoints(tmp_path):
     """One command runs step1->2->3 with each stage seeded from the previous
     stage's best (trainer_OURS.sh:49-63 as one entry point)."""
@@ -41,6 +42,7 @@ def test_pipeline_chains_checkpoints(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_pipeline_skips_finished_stage(tmp_path, capsys):
     run_pipeline(order="CS_BDD_IDD", savedir=str(tmp_path), common=TINY,
                  stages=("step1",))
@@ -59,6 +61,7 @@ def test_pipeline_stage_subset_requires_predecessor(tmp_path):
                      stages=("step3",))
 
 
+@pytest.mark.slow
 def test_pipeline_stage_subset_resolves_prev_from_disk(tmp_path):
     """Rerunning a later stage alone picks up the predecessor's best from the
     savedir (the crashed-pipeline-rerun workflow)."""
@@ -84,6 +87,7 @@ def test_pipeline_stage_subset_resolves_prev_from_disk(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_ft_chain_through_orbax(tmp_path):
     """ft 2-head run -> 3-head run seeded from its own Orbax best: the
     framework's FT chain no longer needs the torch format
@@ -109,6 +113,7 @@ def test_ft_chain_through_orbax(tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_singletask_chain_through_orbax(tmp_path):
     """A singletask (erfnet-kind) Orbax run seeds an ft 2-head chain."""
     cfg1 = C.singletask("cityscapes", savedir=str(tmp_path / "st"), **TINY)
@@ -123,6 +128,7 @@ def test_singletask_chain_through_orbax(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_plain_trainers_load_pretrained_encoder(tmp_path):
     """singletask/multitask honor the ImageNet-pretrained encoder init (the
     reference seeds both baselines from it: main.py --pretrainedEncoder via
@@ -162,6 +168,7 @@ def test_plain_trainers_load_pretrained_encoder(tmp_path):
             got_mt[k.removeprefix("module.features.")], v, err_msg=k)
 
 
+@pytest.mark.slow
 def test_pipeline_baseline_chain(tmp_path):
     """--with-baselines mirrors the reference's baseline chains: the ft
     2-head stage is seeded from the single-task Cityscapes stage's best
