@@ -452,6 +452,10 @@ def upsampler_init(rng, nin: int, nout: int, dtype=jnp.float32):
 
 
 def upsampler_apply(p: Params, s: State, x, *, training: bool):
+    # Measured negative result (r3): rewriting this ConvTranspose2d(3,s2,p1,
+    # op1) as 9 sub-pixel shifted matmuls (the packed-head trick) timed 110.5
+    # vs 111.7 ms/step on the full distill step — the lhs-dilated conv's
+    # layout copies are not on the critical path; keep the simple form.
     out = conv_transpose2d(x, p["conv"]["w"], p["conv"]["b"], stride=2, padding=1, output_padding=1)
     out, bn_s = _bn_apply(p["bn"], s["bn"], out, task=None, training=training)
     return jax.nn.relu(out), {"bn": bn_s}

@@ -66,6 +66,11 @@ def batch_norm_apply(
         new_state = state
         mean, var = state.mean, state.var
 
+    # (A bf16-affine variant — per-channel inv/shift cast to x.dtype before
+    # the elementwise math, halving the nominal traffic of this pass — was
+    # measured at 112.3 vs 111.7 ms/step on the full distill step: the
+    # layout-conversion copies the profiler attributes to these converts
+    # persist regardless of dtype, so the f32 affine stays for its numerics.)
     inv = jax.lax.rsqrt(var.astype(jnp.float32) + eps) * scale.astype(jnp.float32)
     out = x.astype(jnp.float32) * inv + (bias.astype(jnp.float32) - mean.astype(jnp.float32) * inv)
     return out.astype(x.dtype), new_state
