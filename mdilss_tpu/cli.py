@@ -227,6 +227,10 @@ def main(argv=None):
                     help="reverse direction: Orbax dir -> reference-format .pth.tar")
 
     pb = sub.add_parser("bench", help="throughput benchmark (one JSON line; bench.py)")
+    pb.add_argument("--mesh", default=None, help="DxS: sharded mesh bench instead")
+    pb.add_argument("--steps", type=int, default=None)
+    pb.add_argument("--passes", type=int, default=None)
+    pb.add_argument("--bench-batch", type=int, default=None, dest="bench_batch")
 
     args = parser.parse_args(argv)
 
@@ -259,10 +263,20 @@ def main(argv=None):
         spec.loader.exec_module(mod)
         # same fail-fast as `python bench.py`: a hung device tunnel must
         # produce a diagnostic, not hang the caller at PJRT init
-        if not mod._device_reachable():
-            raise SystemExit("bench: device backend unreachable "
-                             "(trivial device op hung) — no measurement taken")
-        mod.main()
+        ok, reason = mod._device_reachable()
+        if not ok:
+            raise SystemExit(f"bench: device backend unreachable ({reason}) "
+                             "— no measurement taken")
+        bargs = mod.build_args().parse_args([])
+        for src, dst in (("mesh", "mesh"), ("steps", "steps"),
+                         ("passes", "passes"), ("bench_batch", "batch")):
+            v = getattr(args, src, None)
+            if v is not None:
+                setattr(bargs, dst, v)
+        if bargs.mesh:
+            mod.mesh_bench(bargs)
+        else:
+            mod.main(bargs)
         return
 
     if args.cmd == "eval":

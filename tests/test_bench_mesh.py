@@ -36,6 +36,7 @@ def test_bench_mesh_smoke():
     assert 0 < ex["scaling_efficiency"]
 
 
+@pytest.mark.slow
 def test_bench_mesh_too_many_devices():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"

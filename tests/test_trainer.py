@@ -56,6 +56,7 @@ def test_resume_continues(tmp_path):
     assert [r["epoch"] for r in rows] == [1, 2, 3, 4]
 
 
+@pytest.mark.slow
 def test_step2_trainer_distills_and_freezes(tmp_path):
     cfg = C.step2(num_epochs=1, savedir=str(tmp_path / "run"), **TINY)
     tr = build_trainer(cfg)
@@ -73,6 +74,7 @@ def test_step2_trainer_distills_and_freezes(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_step3_two_phase_runs(tmp_path):
     cfg = C.step3(num_epochs=1, savedir=str(tmp_path / "run"),
                   eval_old_every=1, **TINY)
@@ -82,6 +84,7 @@ def test_step3_two_phase_runs(tmp_path):
     assert "val_acc_BDD" in final and "val_acc_cityscapes" in final
 
 
+@pytest.mark.slow
 def test_multitask_round_robin(tmp_path):
     cfg = C.multitask(num_epochs=1, eval_every=1, savedir=str(tmp_path / "run"), **TINY)
     tr = build_trainer(cfg)
@@ -143,6 +146,7 @@ def test_uneval_epoch_never_best(tmp_path):
     assert epoch in (2, 4), best_txt
 
 
+@pytest.mark.slow
 def test_multitask_uneval_epoch_never_best(tmp_path):
     """Multitask: epochs where only the OTHER domains were validated
     (eval_old_every < eval_every) must not compete for best — a 2-domain
@@ -158,6 +162,7 @@ def test_multitask_uneval_epoch_never_best(tmp_path):
     assert epoch == 2
 
 
+@pytest.mark.slow
 def test_iou_train_column(tmp_path):
     """--iou-train fills the automated_log Train-IoU column from the fused
     in-step confusion matrix (reference --iouTrain, train_RAPFT_step1.py:311)."""
@@ -170,6 +175,7 @@ def test_iou_train_column(tmp_path):
     assert train_iou == pytest.approx(final["train_iou"], abs=1e-4)
 
 
+@pytest.mark.slow
 def test_profiler_trace_written(tmp_path):
     cfg = C.step1(num_epochs=1, savedir=str(tmp_path / "run"),
                   profile_dir=str(tmp_path / "trace"), profile_steps=1, **TINY)
