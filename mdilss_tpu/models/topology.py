@@ -36,6 +36,20 @@ from . import blocks as B
 from ..ops import conv_transpose2d
 from ..ops.norm import BNState
 
+# Rematerialization policy for the `remat=True` checkpointed block bodies.
+# None (the default) is jax.checkpoint's save-nothing policy: the whole body,
+# dot_generals included, replays in the backward pass. Set to e.g.
+# jax.checkpoint_policies.dots_saveable to save matmul outputs and replay only
+# the elementwise glue — trades HBM for replay FLOPs (tools/remat_policy_exp.py
+# measures the trade; see docs/DESIGN.md for the verdict).
+REMAT_POLICY = None
+
+
+def _ckpt(fn):
+    if REMAT_POLICY is None:
+        return jax.checkpoint(fn)
+    return jax.checkpoint(fn, policy=REMAT_POLICY)
+
 # Flat per-layer view (still used by the checkpoint converter to map the
 # reference's encoder.layers.{i} key grammar onto the grouped layout):
 # (kind, *args): ("down", nin, nout) | ("nb", ch, dropprob, dilated)
@@ -232,7 +246,7 @@ def encoder_apply(
         return nb_apply(p_i, s_i, xin, 1, 0.03, mk if has_m64 else None)
 
     if remat:
-        body64 = jax.checkpoint(body64)
+        body64 = _ckpt(body64)
     # pallas_call inside a scanned body trips a lowering-cache bug; the fused
     # path unrolls (inference does not retrace per epoch, compile cost is one-off)
     out, g64_s = _scan_blocks(body64, out, params["group64"], state["group64"], masks64,
@@ -257,7 +271,7 @@ def encoder_apply(
         return xin, new_s
 
     if remat:
-        body128 = jax.checkpoint(body128)
+        body128 = _ckpt(body128)
     out, g128_s = _scan_blocks(body128, out, params["group128"], state["group128"], masks128,
                                training=training, unroll=fused or ftrain)
 
@@ -307,7 +321,7 @@ def decoder_apply(params, state, x, *, training: bool, remat: bool = False,
         return B.nb1d_apply(p_i, s_i, xin, dilated=1, dropprob=0.0, training=training)
 
     if remat:
-        body = jax.checkpoint(body)
+        body = _ckpt(body)
     dummy = jnp.zeros((2, 1))
     # unroll only where a Pallas body is actually active (pallas_call inside
     # a scanned body trips a lowering-cache bug; scan stays for XLA bodies —
