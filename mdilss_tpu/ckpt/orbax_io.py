@@ -56,6 +56,29 @@ def latest_epoch(directory: str) -> int | None:
     return step
 
 
+def infer_num_classes(directory: str, *, epoch: int | None = None) -> list[int]:
+    """Per-head class counts from checkpoint *metadata* (no array restore).
+
+    The head bias `decoders[i]/output_conv/b` has shape (num_classes,), so the
+    saved tree metadata alone determines the heads. This spares eval/predict/
+    tsne callers the hand-specified --num-classes list that must exactly match
+    the checkpoint (the reference requires the matching NUM_CLASSES on every
+    evaluation, Evaluation_Notebook cell 4; a mismatch here used to surface as
+    a raw Orbax shape error)."""
+    step = epoch if epoch is not None else latest_epoch(directory)
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint under {directory}")
+    ckptr = ocp.StandardCheckpointer()
+    md = ckptr.metadata(
+        os.path.join(os.path.abspath(directory), str(step), "default")
+    )
+    params = md.item_metadata["params"]
+    keys = set(params.keys())
+    if "decoders" in keys:
+        return [int(d["output_conv"]["b"].shape[0]) for d in params["decoders"]]
+    return [int(params["decoder"]["output_conv"]["b"].shape[0])]
+
+
 def restore(directory: str, template_ts: TrainState, *, epoch: int | None = None):
     """Restore (ts, epoch, best_acc, rng); template supplies the pytree shape."""
     mgr = _manager(directory)

@@ -139,7 +139,9 @@ def main(argv=None):
     pe.add_argument("ckpt")
     pe.add_argument("--kind", choices=("rap", "erfnet", "multi_task", "ftp1", "ftp2", "erfnet_bn", "erfnet_onlyRAP", "erfnet_RA_series", "erfnet_RCM"), default="rap")
     pe.add_argument("--datasets", nargs="+", default=["cityscapes", "BDD", "IDD"])
-    pe.add_argument("--num-classes", type=int, nargs="+", default=[20, 20, 27])
+    pe.add_argument("--num-classes", type=int, nargs="+", default=None,
+                    help="per-head class counts (default: inferred from the "
+                         "checkpoint's head shapes)")
     pe.add_argument("--batch-size", type=int, default=1)
     pe.add_argument("--height", type=int, default=512)
     pe.add_argument("--width", type=int, default=1024)
@@ -159,7 +161,9 @@ def main(argv=None):
         p.add_argument("--dataset", default="cityscapes")
         p.add_argument("--subset", default="val")
         p.add_argument("--task", type=int, default=0)
-        p.add_argument("--num-classes", type=int, nargs="+", default=[20])
+        p.add_argument("--num-classes", type=int, nargs="+", default=None,
+                       help="per-head class counts (default: inferred from "
+                            "the checkpoint's head shapes)")
         p.add_argument("--height", type=int, default=512)
         p.add_argument("--width", type=int, default=1024)
         p.add_argument("--synthetic", action="store_true")
@@ -203,7 +207,9 @@ def main(argv=None):
                                        "erfnet_bn", "erfnet_onlyRAP",
                                        "erfnet_RA_series", "erfnet_RCM"),
                     default="rap")
-    px.add_argument("--num-classes", type=int, nargs="+", default=[20, 20, 27])
+    px.add_argument("--num-classes", type=int, nargs="+", default=None,
+                    help="per-head class counts (default: inferred from the "
+                         "checkpoint's head shapes)")
     px.add_argument("--tasks", type=int, nargs="+", default=None,
                     help="head indices to export (default: all)")
     px.add_argument("--batch-size", type=int, default=1,
@@ -305,6 +311,11 @@ def main(argv=None):
         from .evaluate import load_checkpoint
 
         roots = dict(kv.split("=", 1) for kv in args.data_root)
+        if args.num_classes is None:
+            from .evaluate import infer_num_classes
+
+            args.num_classes = infer_num_classes(args.ckpt)
+            print(f"inferred num_classes {args.num_classes} from {args.ckpt}")
         nc = args.num_classes[args.task]
         apply_fn, params, bn = load_checkpoint(
             args.ckpt, kind=args.kind, num_classes=args.num_classes
@@ -380,9 +391,9 @@ def main(argv=None):
             # Orbax dir -> reference-format .pth.tar (torch-loadable: the
             # checkpoint dict shape of train_RAPFT_step1.py:364-370 with
             # DataParallel 'module.'-prefixed keys)
-            from .evaluate import load_checkpoint
+            from .evaluate import infer_num_classes, load_checkpoint
 
-            ncls = args.num_classes or [20] * args.nb_tasks
+            ncls = args.num_classes or infer_num_classes(args.src)
             _, params, bn = load_checkpoint(args.src, kind=args.kind, num_classes=ncls)
             sd = export_state_dict(params, bn, kind=args.kind, prefix="module.")
             import torch

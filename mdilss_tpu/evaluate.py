@@ -78,9 +78,37 @@ def check_expected(
     return ok, "\n".join(lines)
 
 
-def load_checkpoint(path: str, *, kind: str, num_classes: Sequence[int]):
-    """Returns (apply_fn(params,bn,x,task,...), params, bn)."""
+def infer_num_classes(path: str) -> list[int]:
+    """Per-head class counts read from the checkpoint itself.
+
+    Orbax dirs: tree metadata only (no array restore). Reference .pth.tar:
+    the `*output_conv.bias` shapes of the torch state dict. The reference
+    instead requires the caller to re-supply the exact NUM_CLASSES list on
+    every evaluation (Evaluation_Notebook cell 4)."""
+    if os.path.isdir(path):
+        from .ckpt import orbax_io
+
+        return orbax_io.infer_num_classes(path)
+    import re
+
+    heads: dict[int, int] = {}
+    for k, v in load_pth_tar(path).items():
+        if k.endswith("output_conv.bias"):
+            m = re.search(r"\.(\d+)\.output_conv\.bias$", k)
+            heads[int(m.group(1)) if m else 0] = int(v.shape[0])
+    if not heads:
+        raise ValueError(f"no output_conv heads found in {path}")
+    return [heads[i] for i in sorted(heads)]
+
+
+def load_checkpoint(path: str, *, kind: str, num_classes: Sequence[int] | None = None):
+    """Returns (apply_fn(params,bn,x,task,...), params, bn).
+
+    `num_classes=None` infers the per-head class counts from the checkpoint
+    (see `infer_num_classes`)."""
     mod, is_rap = _MODEL[kind]
+    if num_classes is None:
+        num_classes = infer_num_classes(path)
     nb = len(num_classes)
     if os.path.isdir(path):  # orbax
         from .ckpt import orbax_io
@@ -126,7 +154,7 @@ def evaluate_checkpoint(
     *,
     kind: str,
     datasets: Sequence[str],
-    num_classes: Sequence[int],
+    num_classes: Sequence[int] | None = None,
     data_roots: dict[str, str] | None = None,
     subset: str = "val",
     batch_size: int = 1,
@@ -135,6 +163,14 @@ def evaluate_checkpoint(
     synthetic: bool = False,
 ) -> dict[str, float]:
     """Evaluate every domain head of a checkpoint; prints + returns mIoUs."""
+    if num_classes is None:
+        num_classes = infer_num_classes(ckpt)
+        print(f"inferred num_classes {list(num_classes)} from {ckpt}")
+    if len(num_classes) != len(datasets):
+        raise ValueError(
+            f"{len(datasets)} datasets but {len(num_classes)} heads "
+            f"({list(num_classes)}) in {ckpt}"
+        )
     apply_fn, params, bn = load_checkpoint(ckpt, kind=kind, num_classes=num_classes)
     results = {}
     data_roots = data_roots or {}

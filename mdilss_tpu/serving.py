@@ -77,7 +77,7 @@ def export_head(apply_fn, params, bn, task: int, *, height: int, width: int,
     return exp.serialize()
 
 
-def export_checkpoint(ckpt: str, *, kind: str, num_classes: Sequence[int],
+def export_checkpoint(ckpt: str, *, kind: str, num_classes: Sequence[int] | None = None,
                       out_dir: str, tasks: Sequence[int] | None = None,
                       height: int = 512, width: int = 1024,
                       batch_size: int | None = 1, output: str = "logits",
@@ -85,8 +85,10 @@ def export_checkpoint(ckpt: str, *, kind: str, num_classes: Sequence[int],
                       platforms: Sequence[str] = ("cpu", "tpu")) -> dict:
     """Export every (or the selected) domain head of a checkpoint —
     reference .pth.tar or this framework's Orbax dir — into `out_dir`."""
-    from .evaluate import load_checkpoint
+    from .evaluate import infer_num_classes, load_checkpoint
 
+    if num_classes is None:
+        num_classes = infer_num_classes(ckpt)
     apply_fn, params, bn = load_checkpoint(ckpt, kind=kind, num_classes=list(num_classes))
     dt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
     if tasks is None:

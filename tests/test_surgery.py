@@ -124,3 +124,28 @@ def test_cli_convert_round_trip(tmp_path):
     a, _ = erfnet_rap.apply(params, bn, x, 1)
     b, _ = erfnet_rap.apply(p2, b2, x, 1)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_infer_num_classes_orbax_and_pth(tmp_path):
+    """Head class counts are read from the checkpoint itself (Orbax tree
+    metadata / torch output_conv shapes), so eval/predict/tsne need no
+    hand-specified --num-classes."""
+    from mdilss_tpu.ckpt import orbax_io
+    from mdilss_tpu.cli import main as cli_main
+    from mdilss_tpu.evaluate import infer_num_classes, load_checkpoint
+    from mdilss_tpu.models import erfnet_rap
+    from mdilss_tpu.train import steps
+
+    params, bn = erfnet_rap.init(jax.random.key(0), [5, 7], 2)
+    orbax_io.save(str(tmp_path / "ck"), 0, steps.init_train_state(params, bn),
+                  best_acc=0.0, rng=jax.random.key(0))
+    assert infer_num_classes(str(tmp_path / "ck")) == [5, 7]
+
+    # torch-format export: shapes come from `decoders.{i}.output_conv.bias`
+    cli_main(["convert", str(tmp_path / "ck"), str(tmp_path / "ck.pth.tar"),
+              "--kind", "rap", "--nb-tasks", "2", "--export"])
+    assert infer_num_classes(str(tmp_path / "ck.pth.tar")) == [5, 7]
+
+    # load_checkpoint(num_classes=None) builds the right template
+    _, p2, _ = load_checkpoint(str(tmp_path / "ck"), kind="rap")
+    assert [int(d["output_conv"]["b"].shape[0]) for d in p2["decoders"]] == [5, 7]
