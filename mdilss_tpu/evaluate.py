@@ -119,6 +119,12 @@ def load_checkpoint(path: str, *, kind: str, num_classes: Sequence[int] | None =
             p0, b0 = erfnet_multihead.init(jax.random.key(0), list(num_classes))
         ts, *_ = orbax_io.restore(path, steps.init_train_state(p0, b0))
         params, bn = ts.params, ts.bn
+        if kind == "erfnet":
+            # this framework's own singletask runs checkpoint the multi-head
+            # pytree with one head; erfnet.apply expects {encoder, decoder}
+            # (same remap as train.protocols._load_params)
+            params = {"encoder": params["encoder"], "decoder": params["decoders"][0]}
+            bn = {"encoder": bn["encoder"], "decoder": bn["decoders"][0]}
     else:
         if kind in erfnet_ablations.REFERENCE_NAMES:
             raise ValueError(

@@ -107,3 +107,24 @@ def test_save_predictions_synthetic(tmp_path):
     # every pixel is a palette color for labels < nc
     palette = set(map(tuple, colormap_cityscapes(256)[:nc].tolist()))
     assert set(map(tuple, arr.reshape(-1, 3).tolist())) <= palette
+
+
+def test_load_checkpoint_erfnet_kind_orbax(tmp_path):
+    """eval/predict on this framework's own singletask Orbax runs: the
+    multi-head-with-one-head checkpoint remaps to the erfnet layout
+    (regression: KeyError 'decoder')."""
+    import jax
+    import jax.numpy as jnp
+
+    from mdilss_tpu.ckpt import orbax_io
+    from mdilss_tpu.evaluate import load_checkpoint
+    from mdilss_tpu.models import erfnet_multihead
+    from mdilss_tpu.train import steps
+
+    p, b = erfnet_multihead.init(jax.random.key(0), [6])
+    orbax_io.save(str(tmp_path / "ck"), 0, steps.init_train_state(p, b),
+                  best_acc=0.0, rng=jax.random.key(1))
+    apply_fn, params, bn = load_checkpoint(str(tmp_path / "ck"), kind="erfnet")
+    out = apply_fn(params, bn, jnp.ones((1, 32, 64, 3), jnp.float32), 0,
+                   training=False)[0]
+    assert out.shape == (1, 32, 64, 6)
