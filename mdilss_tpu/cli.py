@@ -47,6 +47,10 @@ def _add_common(p: argparse.ArgumentParser):
                    help="experimental: Pallas fused training blocks")
     p.add_argument("--no-device-cache", action="store_true",
                    help="disable the device-resident uint8 dataset cache")
+    p.add_argument("--spatial-shards", type=int, default=1,
+                   help="shard image height over a spatial mesh axis (devices "
+                        "split as data x spatial; XLA inserts conv halo "
+                        "exchanges). Default 1 = pure data parallelism.")
     p.add_argument("--dtype", choices=("float32", "bfloat16"), default="float32")
     p.add_argument("--synthetic", action="store_true", help="synthetic data smoke run")
     p.add_argument("--synthetic-size", type=int, default=24)
@@ -74,7 +78,7 @@ def _common_kwargs(args) -> dict:
         fused_train=args.fused_train,
         device_cache="off" if args.no_device_cache else "auto",
         synthetic_size=args.synthetic_size, data_roots=roots,
-        profile_dir=args.profile_dir,
+        profile_dir=args.profile_dir, spatial_shards=args.spatial_shards,
     )
 
 

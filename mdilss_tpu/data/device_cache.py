@@ -220,29 +220,36 @@ class HybridCache:
         stop = threading.Event()
 
         def produce():
-            with ThreadPoolExecutor(self.loader.num_threads) as pool:
-                for idx, valid in plan:
-                    if stop.is_set():
-                        return
-                    pos = np.where(idx >= self.k)[0]
-                    if len(pos):
-                        pairs = list(pool.map(self.loader._decode, idx[pos]))
-                        up_imgs = np.stack([p[0] for p in pairs])
-                        up_lbls = np.stack([p[1] for p in pairs])
-                        # async H2D: rides under the device compute of the
-                        # batches already queued ahead of this one
-                        up = (jax.device_put(up_imgs), jax.device_put(up_lbls))
-                    else:
-                        up = None
-                    q.put((idx, valid, pos, up))
-            q.put(None)
+            # exceptions must reach the consumer (a swallowed decode error
+            # would leave q.get() blocked forever); sentinel = (None, exc?)
+            try:
+                with ThreadPoolExecutor(self.loader.num_threads) as pool:
+                    for idx, valid in plan:
+                        if stop.is_set():
+                            return
+                        pos = np.where(idx >= self.k)[0]
+                        if len(pos):
+                            pairs = list(pool.map(self.loader._decode, idx[pos]))
+                            up_imgs = np.stack([p[0] for p in pairs])
+                            up_lbls = np.stack([p[1] for p in pairs])
+                            # async H2D: rides under the device compute of the
+                            # batches already queued ahead of this one
+                            up = (jax.device_put(up_imgs), jax.device_put(up_lbls))
+                        else:
+                            up = None
+                        q.put((idx, valid, pos, up))
+                q.put((None, None))
+            except BaseException as e:  # noqa: BLE001
+                q.put((None, e))
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
         try:
             while True:
                 item = q.get()
-                if item is None:
+                if len(item) == 2 and item[0] is None:
+                    if item[1] is not None:
+                        raise item[1]
                     break
                 idx, valid, pos, up = item
                 yield (*self._combine(idx, pos, up), valid)

@@ -160,7 +160,9 @@ class Loader:
         self.width = width
         self.shuffle = shuffle
         self.drop_last = shuffle if drop_last is None else drop_last
-        self.num_threads = num_threads
+        # 0 is valid reference usage (torch DataLoader num_workers=0 =
+        # in-process decode); here it still means "minimal": one pool thread
+        self.num_threads = max(1, num_threads)
         self.prefetch = prefetch
         self.seed = seed
         self.epoch = 0
@@ -193,22 +195,30 @@ class Loader:
         stop = threading.Event()
 
         def produce():
-            with ThreadPoolExecutor(self.num_threads) as pool:
-                for idxs, valid in plan:
-                    if stop.is_set():
-                        return
-                    pairs = list(pool.map(self._decode, idxs))
-                    images = np.stack([p[0] for p in pairs])
-                    labels = np.stack([p[1] for p in pairs])
-                    q.put((images, labels, valid))
-            q.put(None)
+            # a producer-side exception must reach the consumer: swallowing it
+            # here would leave q.get() blocked forever (decode errors, bad
+            # paths). The sentinel is (None, exc_or_None).
+            try:
+                with ThreadPoolExecutor(self.num_threads) as pool:
+                    for idxs, valid in plan:
+                        if stop.is_set():
+                            return
+                        pairs = list(pool.map(self._decode, idxs))
+                        images = np.stack([p[0] for p in pairs])
+                        labels = np.stack([p[1] for p in pairs])
+                        q.put((images, labels, valid))
+                q.put((None, None))
+            except BaseException as e:  # noqa: BLE001
+                q.put((None, e))
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
         try:
             while True:
                 item = q.get()
-                if item is None:
+                if len(item) == 2 and item[0] is None:
+                    if item[1] is not None:
+                        raise item[1]
                     break
                 yield item
         finally:

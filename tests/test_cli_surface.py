@@ -1,0 +1,178 @@
+"""CLI argparse-wiring smoke tests: every subcommand through cli.main([...]).
+
+The trainer/eval/analysis logic has its own tests that call the library
+directly; this module covers the layer those bypass — flag parsing, the
+argparse->config/kwargs plumbing, and each subcommand's dispatch block in
+`mdilss_tpu/cli.py`. Round 3's `eval --kind erfnet` KeyError lived exactly
+here (the library worked; the CLI path didn't), so every subcommand gets at
+least one end-to-end tiny invocation.
+
+Reference surface being mirrored: the six trainer argparse blocks
+(train_RAPFT_step1.py:511-550 etc.), the Evaluation/Tsne notebooks, and
+cal_class_weights.py.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from mdilss_tpu.cli import main as cli_main
+
+TINY = ["--height", "32", "--width", "64", "--batch-size", "2",
+        "--num-epochs", "1", "--synthetic", "--synthetic-size", "4",
+        "--num-workers", "0", "--no-device-cache"]
+
+
+def _run(capsys, argv):
+    cli_main(argv)
+    out = capsys.readouterr().out.strip().splitlines()
+    # last line is the command's JSON summary
+    return json.loads(out[-1])
+
+
+@pytest.fixture(scope="module")
+def chain_dir(tmp_path_factory):
+    """step1 -> step2 -> step3 chained through the CLI, like trainer_OURS.sh."""
+    root = tmp_path_factory.mktemp("cli_chain")
+    cli_main(["step1", "--savedir", str(root / "step1")] + TINY)
+    assert (root / "step1" / "best").is_dir()
+    cli_main(["step2", "--order", "CS_BDD", "--state", str(root / "step1" / "best"),
+              "--savedir", str(root / "step2")] + TINY)
+    assert (root / "step2" / "best").is_dir()
+    cli_main(["step3", "--order", "CS_BDD_IDD", "--state", str(root / "step2" / "best"),
+              "--savedir", str(root / "step3")] + TINY)
+    assert (root / "step3" / "best").is_dir()
+    return root
+
+
+@pytest.mark.slow
+def test_step_chain_artifacts(chain_dir):
+    # reference-format run artifacts (train_RAPFT_step1.py:248-258)
+    for stage in ("step1", "step2", "step3"):
+        d = chain_dir / stage
+        assert (d / "opts.txt").exists() and (d / "model.txt").exists()
+        assert (d / "automated_log.txt").exists()
+
+
+@pytest.mark.slow
+def test_cli_eval_rap_synthetic(chain_dir, capsys):
+    res = _run(capsys, [
+        "eval", str(chain_dir / "step3" / "best"), "--kind", "rap",
+        "--datasets", "cityscapes", "BDD", "IDD", "--synthetic",
+        "--height", "32", "--width", "64",
+    ])
+    assert set(res) == {"cityscapes", "BDD", "IDD"}
+    assert all(0.0 <= v <= 100.0 for v in res.values())
+
+
+@pytest.mark.slow
+def test_cli_eval_expect_gate_fails_on_synthetic(chain_dir):
+    # --expect compares vs the notebook record; a fresh tiny model must fail
+    # and exit nonzero (the gate's whole job)
+    with pytest.raises(SystemExit):
+        cli_main([
+            "eval", str(chain_dir / "step3" / "best"), "--kind", "rap",
+            "--datasets", "cityscapes", "BDD", "IDD", "--synthetic",
+            "--height", "32", "--width", "64", "--expect", "step3_CS_BDD_IDD",
+        ])
+
+
+@pytest.mark.slow
+def test_cli_tsne_and_predict(chain_dir, tmp_path, capsys):
+    out_png = tmp_path / "tsne.png"
+    res = _run(capsys, [
+        "tsne", str(chain_dir / "step2" / "best"), "--kind", "rap",
+        "--task", "0", "--which", "encoder", "--synthetic",
+        "--height", "32", "--width", "64", "--n-samples", "200",
+        "--out", str(out_png), "--first-image",
+    ])
+    assert os.path.exists(res["plot"]) and res["n_points"] > 0
+
+    res = _run(capsys, [
+        "predict", str(chain_dir / "step2" / "best"), "--kind", "rap",
+        "--task", "1", "--synthetic", "--height", "32", "--width", "64",
+        "--out-dir", str(tmp_path / "preds"), "--max-images", "2", "--save-gt",
+    ])
+    # 2 prediction maps + 2 --save-gt colorized ground-truth maps
+    assert res["written"] == 4
+    assert len(os.listdir(tmp_path / "preds")) == 4
+
+
+@pytest.mark.slow
+def test_cli_export_and_convert_roundtrip(chain_dir, tmp_path, capsys):
+    res = _run(capsys, [
+        "export", str(chain_dir / "step2" / "best"), str(tmp_path / "serving"),
+        "--kind", "rap", "--tasks", "1", "--height", "32", "--width", "64",
+        "--batch-size", "1", "--dtype", "float32", "--platforms", "cpu",
+    ])
+    assert res["tasks"] == [1]
+    assert (tmp_path / "serving" / "head1.stablehlo").exists()
+
+    # Orbax -> .pth.tar -> Orbax through the CLI (num_classes inferred)
+    pth = tmp_path / "exported.pth.tar"
+    cli_main(["convert", str(chain_dir / "step2" / "best"), str(pth),
+              "--export", "--kind", "rap"])
+    assert pth.exists()
+    back = tmp_path / "back"
+    cli_main(["convert", str(pth), str(back), "--kind", "rap", "--nb-tasks", "2"])
+    assert (back / "ckpt_meta.json").exists() or os.path.isdir(back)
+
+
+@pytest.mark.slow
+def test_cli_single_multitask_ft(tmp_path, capsys):
+    res = _run(capsys, ["single", "--dataset", "IDD",
+                        "--savedir", str(tmp_path / "single")] + TINY)
+    assert "val_iou" in res or len(res) > 0
+    res = _run(capsys, ["multitask", "--savedir", str(tmp_path / "mt")] + TINY)
+    assert len(res) > 0
+    res = _run(capsys, ["ft", "--heads", "2", "--feature-extraction",
+                        "--savedir", str(tmp_path / "fe")] + TINY)
+    assert len(res) > 0
+
+
+def test_cli_weights_matches_reference_formula(tmp_path, capsys):
+    # tiny on-disk cityscapes tree (dataset.py:19-20 suffix conventions)
+    rng = np.random.default_rng(0)
+    (tmp_path / "leftImg8bit" / "train" / "c").mkdir(parents=True)
+    (tmp_path / "gtFine" / "train" / "c").mkdir(parents=True)
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (32, 64, 3), np.uint8)).save(
+            tmp_path / "leftImg8bit" / "train" / "c" / f"c_{i:06d}_leftImg8bit.png")
+        Image.fromarray(rng.integers(0, 20, (32, 64), np.uint8), mode="L").save(
+            tmp_path / "gtFine" / "train" / "c" / f"c_{i:06d}_gtFine_labelTrainIds.png")
+    res = _run(capsys, [
+        "weights", "--dataset", "cityscapes", "--subset", "train",
+        "--data-root", f"cityscapes={tmp_path}",
+        "--height", "32", "--width", "64",
+    ])
+    w = res["weights"]
+    assert len(w) == 20 and res["n_images"] == 2
+    assert w[-1] == 0.0  # ignore class zeroed (cal_class_weights.py:66-68)
+    assert all(v >= 0 for v in w)
+
+
+@pytest.mark.slow
+def test_cli_pipeline_two_stages(tmp_path, capsys):
+    res = _run(capsys, [
+        "pipeline", "--order", "CS_BDD_IDD", "--stages", "step1", "step2",
+        "--savedir", str(tmp_path / "pipe"),
+    ] + TINY)
+    assert set(res) == {"step1", "step2"}
+    assert (tmp_path / "pipe" / "step2" / "best").is_dir()
+
+
+@pytest.mark.slow
+def test_cli_spatial_shards_flag(tmp_path, capsys):
+    # --spatial-shards wires through to TrainConfig.spatial_shards: a 2x2
+    # (data x spatial) mesh over the 8 virtual CPU devices, halo-exchange
+    # convs included (parallel/mesh.py)
+    res = _run(capsys, ["step1", "--spatial-shards", "2",
+                        "--savedir", str(tmp_path / "sp")] + TINY)
+    assert len(res) > 0
+
+
+def test_cli_rejects_unknown_command():
+    with pytest.raises(SystemExit):
+        cli_main(["frobnicate"])

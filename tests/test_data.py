@@ -162,3 +162,49 @@ def test_reference_weight_tables():
     np.testing.assert_allclose(CLASS_WEIGHTS["cityscapes"][0], 2.8159904084894922)
     np.testing.assert_allclose(CLASS_WEIGHTS["IDD"][26], 0.0)
     np.testing.assert_allclose(CLASS_WEIGHTS["BDD"][10], 4.142994047786311)
+
+
+def test_loader_propagates_producer_errors(tmp_path):
+    """A decode failure in the producer thread must raise in the consumer,
+    not strand q.get() forever (the sentinel carries the exception)."""
+    class BrokenSource:
+        pairs = [(str(tmp_path / "missing.png"),
+                  str(tmp_path / "missing_l.png"))] * 2
+        label_map = None
+
+        def __len__(self):
+            return len(self.pairs)
+
+    ld = Loader(BrokenSource(), batch_size=2, height=8, width=16)
+    with pytest.raises(Exception) as ei:
+        next(iter(ld))
+    assert "missing" in str(ei.value)
+
+
+def test_loader_num_workers_zero():
+    """torch DataLoader accepts num_workers=0 (in-process); so do we."""
+    src = SyntheticSource(5, n=4, height=8, width=16)
+    ld = Loader(src, batch_size=2, height=8, width=16, num_threads=0)
+    batches = list(ld)
+    assert len(batches) == 2
+
+
+def test_hybrid_cache_propagates_producer_errors(tmp_path):
+    """Same contract for HybridCache's uncached-row producer."""
+    from types import SimpleNamespace
+
+    from mdilss_tpu.data.device_cache import HybridCache
+
+    # first 2 rows decodable (synthetic), rest are broken paths: build from a
+    # real loader, then break the underlying pairs beyond the cached range
+    src = SyntheticSource(5, n=6, height=8, width=16)
+    ld = Loader(src, batch_size=2, height=8, width=16, shuffle=True, seed=0)
+    hc = HybridCache(ld, 4)
+
+    def boom(idx):
+        raise RuntimeError(f"decode failed for row {idx}")
+
+    ld._decode = boom
+    with pytest.raises(RuntimeError, match="decode failed"):
+        for _ in hc.epoch_batches(0):
+            pass
