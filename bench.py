@@ -439,8 +439,12 @@ def mesh_bench(args) -> None:
             key[0], k_aug, k_drop = jax.random.split(key[0], 3)
             imgs = rng_np.integers(0, 256, (batch, height, width, 3), np.uint8)
             lbls = rng_np.integers(0, C, (batch, height, width)).astype(np.uint8)
-            xh, yh = shard_batch(mesh, imgs, lbls)
-            x, y = augment_batch(xh, yh, k_aug, num_classes=C, out_dtype=dtype)
+            # augment THEN place on the mesh (loop.py order): the augment
+            # jit's output sharding does not preserve the spatial axis, and
+            # jit_distill_step's in_shardings are strict about the batch spec
+            x, y = augment_batch(jnp.asarray(imgs), jnp.asarray(lbls), k_aug,
+                                 num_classes=C, out_dtype=dtype)
+            x, y = shard_batch(mesh, x, y)
             m = [make_dropout_masks(mask_rng, batch) for _ in range(2)]
             return step(ts, teacher, x, y, m, k_drop, 1)
 
@@ -490,7 +494,10 @@ def _device_reachable(timeout_s: int = 180):
     instead of hanging the driver. Returns (ok, reason)."""
     import subprocess
 
-    code = ("import jax, jax.numpy as jnp; "
+    code = ("import os, jax; "
+            "p = os.environ.get('JAX_PLATFORMS'); "
+            "p and jax.config.update('jax_platforms', p); "
+            "import jax.numpy as jnp; "
             "print(float((jnp.ones((8,8)) @ jnp.ones((8,8))).sum()))")
     try:
         proc = subprocess.run([sys.executable, "-c", code],
@@ -506,6 +513,15 @@ def _device_reachable(timeout_s: int = 180):
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     cli = build_args().parse_args()
+    # The axon sitecustomize pins the config platform at register() time, so
+    # the JAX_PLATFORMS env var alone does NOT select the backend (conftest.py
+    # hits the same thing). Honor it explicitly so `JAX_PLATFORMS=cpu
+    # XLA_FLAGS=--xla_force_host_platform_device_count=8 bench.py --mesh 4x2`
+    # really runs on the virtual CPU mesh.
+    _plat = os.environ.get("JAX_PLATFORMS")
+    if _plat:
+        import jax
+        jax.config.update("jax_platforms", _plat)
     # Tunnel outages are often transient: retry the probe a few times before
     # declaring the round unmeasurable.
     attempts = max(1, int(os.environ.get("MDILSS_BENCH_PROBE_ATTEMPTS", "3")))
