@@ -435,10 +435,19 @@ def mesh_bench(args) -> None:
         teacher = replicate(mesh, steps.ModelState(t_params, t_bn))
         key = [jax.random.key(7)]
 
-        def run_one(ts):
+        # pre-generate a few distinct host batches (as main() does): serial
+        # host RNG scales with the data degree while the device work
+        # parallelizes, so generating inside the timed loop would understate
+        # scaling_efficiency
+        host_batches = [
+            (rng_np.integers(0, 256, (batch, height, width, 3), np.uint8),
+             rng_np.integers(0, C, (batch, height, width)).astype(np.uint8))
+            for _ in range(4)
+        ]
+
+        def run_one(i, ts):
             key[0], k_aug, k_drop = jax.random.split(key[0], 3)
-            imgs = rng_np.integers(0, 256, (batch, height, width, 3), np.uint8)
-            lbls = rng_np.integers(0, C, (batch, height, width)).astype(np.uint8)
+            imgs, lbls = host_batches[i % len(host_batches)]
             # augment THEN place on the mesh (loop.py order): the augment
             # jit's output sharding does not preserve the spatial axis, and
             # jit_distill_step's in_shardings are strict about the batch spec
@@ -451,11 +460,11 @@ def mesh_bench(args) -> None:
         return run_one, ts
 
     def timed(run_one, ts, n):
-        ts, m = run_one(ts)  # compile
+        ts, m = run_one(0, ts)  # compile
         float(m["loss"])
         t0 = time.perf_counter()
-        for _ in range(n):
-            ts, m = run_one(ts)
+        for i in range(n):
+            ts, m = run_one(i + 1, ts)
         float(m["loss"])
         return (time.perf_counter() - t0), ts
 

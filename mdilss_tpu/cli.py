@@ -241,6 +241,8 @@ def main(argv=None):
     pb.add_argument("--steps", type=int, default=None)
     pb.add_argument("--passes", type=int, default=None)
     pb.add_argument("--bench-batch", type=int, default=None, dest="bench_batch")
+    pb.add_argument("--bench-height", type=int, default=None, dest="bench_height")
+    pb.add_argument("--bench-width", type=int, default=None, dest="bench_width")
 
     args = parser.parse_args(argv)
 
@@ -271,6 +273,14 @@ def main(argv=None):
         spec = _ilu.spec_from_file_location("mdilss_bench", bench_path)
         mod = _ilu.module_from_spec(spec)
         spec.loader.exec_module(mod)
+        # same platform honoring as `python bench.py`: the PJRT plugin
+        # registration pins the config platform at import, so JAX_PLATFORMS
+        # alone never selects the virtual CPU mesh for `bench --mesh`
+        plat = os.environ.get("JAX_PLATFORMS")
+        if plat:
+            import jax
+
+            jax.config.update("jax_platforms", plat)
         # same fail-fast as `python bench.py`: a hung device tunnel must
         # produce a diagnostic, not hang the caller at PJRT init
         ok, reason = mod._device_reachable()
@@ -279,7 +289,8 @@ def main(argv=None):
                              "— no measurement taken")
         bargs = mod.build_args().parse_args([])
         for src, dst in (("mesh", "mesh"), ("steps", "steps"),
-                         ("passes", "passes"), ("bench_batch", "batch")):
+                         ("passes", "passes"), ("bench_batch", "batch"),
+                         ("bench_height", "height"), ("bench_width", "width")):
             v = getattr(args, src, None)
             if v is not None:
                 setattr(bargs, dst, v)

@@ -70,6 +70,13 @@ class TrainConfig:
     profile_dir: str | None = None  # write a jax.profiler trace here
     profile_steps: int = 8  # batches to trace (first epoch, after warmup)
 
+    def __post_init__(self):
+        if len(self.datasets) != len(self.num_classes):
+            raise ValueError(
+                f"datasets {self.datasets} and num_classes {self.num_classes} "
+                f"must have the same length (one head per task)"
+            )
+
     def shared_lr_value(self) -> float:
         if self.shared_lr is not None:
             return self.shared_lr
@@ -87,13 +94,23 @@ class TrainConfig:
 # Presets mirroring the reference trainers' invocations (trainer_OURS.sh)
 # ---------------------------------------------------------------------------
 
+def _derive_num_classes(kw: dict) -> None:
+    """num_classes defaults must follow the caller's `datasets` override,
+    not the preset's own default order — a datasets=("IDD",) override with
+    the preset's (20,) would silently mis-size the head."""
+    if "num_classes" not in kw:
+        from .data.sources import DATASET_NUM_CLASSES
+
+        kw["num_classes"] = tuple(DATASET_NUM_CLASSES[d] for d in kw["datasets"])
+
+
 def step1(**kw) -> TrainConfig:
     """RAP-FT on Cityscapes from the ImageNet-pretrained encoder.
 
     Preset fields use setdefault so tests/smoke runs may override e.g.
     num_classes with tiny values."""
     kw.setdefault("datasets", ("cityscapes",))
-    kw.setdefault("num_classes", (20,))
+    _derive_num_classes(kw)
     return TrainConfig(protocol="step1", current_task=0, **kw)
 
 
@@ -101,7 +118,7 @@ def step2(order: str = "CS_BDD", **kw) -> TrainConfig:
     """CS->BDD (default) or CS->IDD incremental step with distillation."""
     second = {"CS_BDD": ("BDD", 20), "CS_IDD": ("IDD", 27)}[order]
     kw.setdefault("datasets", ("cityscapes", second[0]))
-    kw.setdefault("num_classes", (20, second[1]))
+    _derive_num_classes(kw)
     return TrainConfig(protocol="step2", current_task=1, **kw)
 
 
@@ -111,7 +128,7 @@ def step3(order: str = "CS_BDD_IDD", **kw) -> TrainConfig:
              "CS_IDD_BDD": (("cityscapes", "IDD", "BDD"), (20, 27, 20))}[order]
     kw.setdefault("eval_old_every", 10)  # ref validates all 3 every 10 epochs
     kw.setdefault("datasets", third[0])
-    kw.setdefault("num_classes", third[1])
+    _derive_num_classes(kw)
     return TrainConfig(protocol="step3", current_task=2, **kw)
 
 
@@ -120,7 +137,7 @@ def multitask(**kw) -> TrainConfig:
     kw.setdefault("eval_every", 5)  # ref validates every 5 epochs
     kw.setdefault("eval_old_every", 5)  # ... all domains at the same cadence
     kw.setdefault("datasets", ("cityscapes", "BDD", "IDD"))
-    kw.setdefault("num_classes", (20, 20, 27))
+    _derive_num_classes(kw)
     return TrainConfig(
         protocol="multitask", model="erfnet_multi_task", current_task=0, **kw,
     )
@@ -131,7 +148,7 @@ def ft_step(n_heads: int = 2, finetune: bool = True, **kw) -> TrainConfig:
     finetune=False => feature extraction (new head only)."""
     model = "erfnet_ftp1" if n_heads == 2 else "erfnet_ftp2"
     kw.setdefault("datasets", ("cityscapes", "BDD", "IDD")[:n_heads])
-    kw.setdefault("num_classes", (20, 20, 27)[:n_heads])
+    _derive_num_classes(kw)
     return TrainConfig(
         protocol="ft" if finetune else "fe", model=model,
         current_task=n_heads - 1, **kw,
@@ -142,10 +159,8 @@ def singletask(dataset: str = "cityscapes", **kw) -> TrainConfig:
     """Independent single-task ERFNet baseline (the notebooks' `ERFNet_ind`;
     trained upstream by the absent `main.py`, trainer_single_task.sh:46-52).
     Everything trainable at the base LR."""
-    from .data.sources import DATASET_NUM_CLASSES
-
     kw.setdefault("datasets", (dataset,))
-    kw.setdefault("num_classes", (DATASET_NUM_CLASSES[dataset],))
+    _derive_num_classes(kw)
     return TrainConfig(
         protocol="singletask", model="erfnet_multi_task", current_task=0, **kw,
     )

@@ -115,20 +115,33 @@ class DeviceCache:
         return jnp.take(self.images, di, axis=0), jnp.take(self.labels, di, axis=0)
 
 
-def _jit_cached(fn):
-    import jax
+def _lazy_jit(fn):
+    """jax.jit applied on first CALL, not at module import: this module is
+    imported by non-device code paths (fit heuristics, CLI arg plumbing) and
+    must stay import-light like every other jax use in the file."""
+    import functools
 
-    return jax.jit(fn)
+    cache = []
+
+    @functools.wraps(fn)
+    def wrapper(*a, **kw):
+        if not cache:
+            import jax
+
+            cache.append(jax.jit(fn))
+        return cache[0](*a, **kw)
+
+    return wrapper
 
 
-@_jit_cached
+@_lazy_jit
 def _gather(images, labels, di):
     import jax.numpy as jnp
 
     return jnp.take(images, di, axis=0), jnp.take(labels, di, axis=0)
 
 
-@_jit_cached
+@_lazy_jit
 def _gather_scatter(images, labels, di, pos, up_imgs, up_lbls):
     import jax.numpy as jnp
 
@@ -219,6 +232,18 @@ class HybridCache:
         q: queue.Queue = queue.Queue(maxsize=3)
         stop = threading.Event()
 
+        def put(item):
+            # stop-aware put: an abandoned generator (multitask pulls only
+            # min-loader iters per epoch) sets `stop` in its finally but never
+            # drains the queue again — a plain q.put would pin this thread
+            # (and the device-resident batches it queued) forever
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return
+                except queue.Full:
+                    continue
+
         def produce():
             # exceptions must reach the consumer (a swallowed decode error
             # would leave q.get() blocked forever); sentinel = (None, exc?)
@@ -237,10 +262,10 @@ class HybridCache:
                             up = (jax.device_put(up_imgs), jax.device_put(up_lbls))
                         else:
                             up = None
-                        q.put((idx, valid, pos, up))
-                q.put((None, None))
+                        put((idx, valid, pos, up))
+                put((None, None))
             except BaseException as e:  # noqa: BLE001
-                q.put((None, e))
+                put((None, e))
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

@@ -194,6 +194,18 @@ class Loader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item):
+            # stop-aware put: if the consumer abandons the generator mid-epoch
+            # (multitask pulls min-loader iters), a plain q.put on the full
+            # queue would block this thread forever — the generator's finally
+            # sets `stop` but nothing ever drains the queue again
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return
+                except queue.Full:
+                    continue
+
         def produce():
             # a producer-side exception must reach the consumer: swallowing it
             # here would leave q.get() blocked forever (decode errors, bad
@@ -206,10 +218,10 @@ class Loader:
                         pairs = list(pool.map(self._decode, idxs))
                         images = np.stack([p[0] for p in pairs])
                         labels = np.stack([p[1] for p in pairs])
-                        q.put((images, labels, valid))
-                q.put((None, None))
+                        put((images, labels, valid))
+                put((None, None))
             except BaseException as e:  # noqa: BLE001
-                q.put((None, e))
+                put((None, e))
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

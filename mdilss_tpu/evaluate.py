@@ -92,13 +92,26 @@ def infer_num_classes(path: str) -> list[int]:
     import re
 
     heads: dict[int, int] = {}
+    named: dict[str, int] = {}
     for k, v in load_pth_tar(path).items():
         if k.endswith("output_conv.bias"):
             m = re.search(r"\.(\d+)\.output_conv\.bias$", k)
-            heads[int(m.group(1)) if m else 0] = int(v.shape[0])
-    if not heads:
-        raise ValueError(f"no output_conv heads found in {path}")
-    return [heads[i] for i in sorted(heads)]
+            if m:  # RAP/multitask: digit-indexed ModuleList heads
+                heads[int(m.group(1))] = int(v.shape[0])
+            else:
+                # erfnet: a single 'decoder'; ftp1/ftp2 heads are NAMED
+                # modules in task order (erfnet_ftp1.py:139-141 decoder_old,
+                # decoder_new; erfnet_ftp2.py:139-143 decoder_old1,
+                # decoder_old2, decoder_new)
+                name = k[: -len(".output_conv.bias")].split(".")[-1]
+                named[name] = int(v.shape[0])
+    if heads:
+        return [heads[i] for i in sorted(heads)]
+    if named:
+        rank = {"decoder": 0, "decoder_old": 0, "decoder_old1": 0,
+                "decoder_old2": 1, "decoder_new": 9}
+        return [named[n] for n in sorted(named, key=lambda n: (rank.get(n, 0), n))]
+    raise ValueError(f"no output_conv heads found in {path}")
 
 
 def load_checkpoint(path: str, *, kind: str, num_classes: Sequence[int] | None = None):

@@ -221,7 +221,13 @@ class Trainer:
         # clamp the data axis so it divides the batch (a 6-image batch on an
         # 8-device host uses 2x3 images/device on 2 devices rather than fail)
         spatial = cfg.spatial_shards
-        data = math.gcd(cfg.batch_size, len(jax.devices()) // spatial)
+        n_dev = len(jax.devices())
+        if spatial < 1 or n_dev % spatial:
+            raise ValueError(
+                f"--spatial-shards {spatial} must divide the device count "
+                f"({n_dev} visible); e.g. a v4-8 supports 1, 2, 4 or 8"
+            )
+        data = math.gcd(cfg.batch_size, n_dev // spatial)
         self.mesh = make_mesh(data * spatial, spatial=spatial)
         if cfg.fused_train and data * spatial > 1:
             # pallas_call is not auto-partitioned: the fused kernels compute

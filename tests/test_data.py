@@ -208,3 +208,39 @@ def test_hybrid_cache_propagates_producer_errors(tmp_path):
     with pytest.raises(RuntimeError, match="decode failed"):
         for _ in hc.epoch_batches(0):
             pass
+
+
+def test_abandoned_iterators_do_not_leak_producer_threads():
+    """Multitask abandons the longer datasets' epoch generators after
+    min-loader iters; the producer (blocked in q.put on the bounded queue)
+    must notice `stop` and exit rather than pin the thread — and, for
+    HybridCache, the device-resident batches it queued — forever."""
+    import threading
+    import time
+
+    from mdilss_tpu.data.device_cache import HybridCache
+
+    def settle(n0, what):
+        deadline = time.time() + 15
+        while time.time() < deadline:
+            if threading.active_count() <= n0:
+                return
+            time.sleep(0.05)
+        raise AssertionError(
+            f"{what}: {threading.active_count() - n0} leaked thread(s)")
+
+    n0 = threading.active_count()
+    src = SyntheticSource(5, n=64, height=8, width=16)
+    ld = Loader(src, batch_size=2, height=8, width=16, prefetch=1)
+    it = iter(ld)
+    next(it)
+    it.close()  # generator finally -> stop.set(); producer must unblock
+    settle(n0, "Loader")
+
+    ld2 = Loader(src, batch_size=2, height=8, width=16, shuffle=True, seed=0)
+    hc = HybridCache(ld2, 8)  # most rows uncached -> producer active
+    n0 = threading.active_count()
+    gen = hc.epoch_batches(0)
+    next(gen)
+    gen.close()
+    settle(n0, "HybridCache")

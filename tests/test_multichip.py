@@ -239,3 +239,18 @@ def test_sharded_ablation_distill_step(setup):
     )
     ts, m = sharded(ts, teacher, x, y, None, jax.random.key(3), 1)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_spatial_shards_must_divide_devices(tmp_path):
+    """--spatial-shards that doesn't divide the visible device count must
+    fail loudly at build time, not with a reshape error mid-mesh."""
+    from mdilss_tpu import config as C
+    from mdilss_tpu.train.protocols import build_trainer
+
+    cfg = C.step2(
+        num_epochs=1, savedir=str(tmp_path / "run"), synthetic=True,
+        synthetic_size=8, batch_size=8, height=32, width=64,
+        spatial_shards=3,  # 8 devices % 3 != 0
+    )
+    with pytest.raises(ValueError, match="spatial-shards"):
+        build_trainer(cfg)

@@ -149,3 +149,28 @@ def test_infer_num_classes_orbax_and_pth(tmp_path):
     # load_checkpoint(num_classes=None) builds the right template
     _, p2, _ = load_checkpoint(str(tmp_path / "ck"), kind="rap")
     assert [int(d["output_conv"]["b"].shape[0]) for d in p2["decoders"]] == [5, 7]
+
+
+def test_infer_num_classes_named_ft_heads(tmp_path):
+    """ftp1/ftp2 reference checkpoints name their heads (decoder_old /
+    decoder_new / decoder_old1 / decoder_old2 — erfnet_ftp1.py:139-141,
+    erfnet_ftp2.py:139-143) instead of digit-indexing them; inference must
+    keep the task order and not collapse them into one head."""
+    import torch
+
+    from mdilss_tpu.ckpt import export_state_dict
+    from mdilss_tpu.evaluate import infer_num_classes
+    from mdilss_tpu.models import erfnet_multihead
+
+    def save(kind, ncls, dst):
+        params, bn = erfnet_multihead.init(jax.random.key(0), list(ncls))
+        sd = export_state_dict(params, bn, kind=kind, prefix="module.")
+        torch.save({"epoch": 0, "arch": kind, "best_acc": 0.0, "optimizer": {},
+                    "state_dict": {k: torch.from_numpy(v.copy()) for k, v in sd.items()}},
+                   dst)
+
+    save("ftp1", [5, 7], str(tmp_path / "ftp1.pth.tar"))
+    assert infer_num_classes(str(tmp_path / "ftp1.pth.tar")) == [5, 7]
+
+    save("ftp2", [5, 7, 9], str(tmp_path / "ftp2.pth.tar"))
+    assert infer_num_classes(str(tmp_path / "ftp2.pth.tar")) == [5, 7, 9]
