@@ -533,7 +533,10 @@ if __name__ == "__main__":
         jax.config.update("jax_platforms", _plat)
     # Tunnel outages are often transient: retry the probe a few times before
     # declaring the round unmeasurable.
-    attempts = max(1, int(os.environ.get("MDILSS_BENCH_PROBE_ATTEMPTS", "3")))
+    # 5 default: the tunnel's observed failure mode is INTERMITTENT (some
+    # probes hang while others in the same window succeed), so extra attempts
+    # buy real success probability, not just outage-waiting
+    attempts = max(1, int(os.environ.get("MDILSS_BENCH_PROBE_ATTEMPTS", "5")))
     reachable, reason = False, ""
     for i in range(attempts):
         reachable, reason = _device_reachable()
