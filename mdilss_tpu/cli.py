@@ -243,6 +243,9 @@ def main(argv=None):
     pb.add_argument("--bench-batch", type=int, default=None, dest="bench_batch")
     pb.add_argument("--bench-height", type=int, default=None, dest="bench_height")
     pb.add_argument("--bench-width", type=int, default=None, dest="bench_width")
+    pb.add_argument("--bench-dtype", choices=("bf16", "f32"),
+                    default=None, dest="bench_dtype",
+                    help="compute dtype for the bench arms (bench.py --dtype)")
 
     args = parser.parse_args(argv)
 
@@ -290,7 +293,8 @@ def main(argv=None):
         bargs = mod.build_args().parse_args([])
         for src, dst in (("mesh", "mesh"), ("steps", "steps"),
                          ("passes", "passes"), ("bench_batch", "batch"),
-                         ("bench_height", "height"), ("bench_width", "width")):
+                         ("bench_height", "height"), ("bench_width", "width"),
+                         ("bench_dtype", "dtype")):
             v = getattr(args, src, None)
             if v is not None:
                 setattr(bargs, dst, v)

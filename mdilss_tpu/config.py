@@ -101,6 +101,13 @@ def _derive_num_classes(kw: dict) -> None:
     if "num_classes" not in kw:
         from .data.sources import DATASET_NUM_CLASSES
 
+        unknown = [d for d in kw["datasets"] if d not in DATASET_NUM_CLASSES]
+        if unknown:
+            raise ValueError(
+                f"cannot derive num_classes for unknown dataset(s) {unknown} "
+                f"(known: {sorted(DATASET_NUM_CLASSES)}); pass num_classes "
+                "explicitly for custom/synthetic dataset names"
+            )
         kw["num_classes"] = tuple(DATASET_NUM_CLASSES[d] for d in kw["datasets"])
 
 

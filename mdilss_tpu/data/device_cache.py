@@ -29,6 +29,14 @@ def cache_bytes(n: int, height: int, width: int) -> int:
     return n * height * width * 4
 
 
+def _cache_drop_last(loader: Loader, shuffle: bool) -> bool:
+    """drop_last for a cache epoch: an explicit Loader override wins (the
+    cache must reproduce the wrapped loader's batching rule exactly);
+    otherwise derive from the per-call shuffle flag the same way the Loader
+    constructor derives its default (train: drop, eval: pad+mask)."""
+    return loader.drop_last if loader._drop_last_explicit else shuffle
+
+
 class DeviceCache:
     """Whole-dataset uint8 arrays on device + deterministic epoch batching.
 
@@ -100,7 +108,7 @@ class DeviceCache:
         (seed, epoch) — both sides use loader.batch_indices."""
         for idx, valid in batch_indices(
             self.n, self.batch_size, seed=self.loader.seed, epoch=epoch,
-            shuffle=shuffle, drop_last=shuffle,
+            shuffle=shuffle, drop_last=_cache_drop_last(self.loader, shuffle),
         ):
             imgs, lbls = self.take(idx)
             yield imgs, lbls, valid
@@ -227,7 +235,7 @@ class HybridCache:
 
         plan = list(batch_indices(
             self.n, self.batch_size, seed=self.loader.seed, epoch=epoch,
-            shuffle=shuffle, drop_last=shuffle,
+            shuffle=shuffle, drop_last=_cache_drop_last(self.loader, shuffle),
         ))
         q: queue.Queue = queue.Queue(maxsize=3)
         stop = threading.Event()

@@ -160,6 +160,10 @@ class Loader:
         self.width = width
         self.shuffle = shuffle
         self.drop_last = shuffle if drop_last is None else drop_last
+        # device caches re-derive drop_last from their per-call shuffle flag
+        # UNLESS the caller pinned it here explicitly (cached-vs-streamed
+        # batch parity must hold for that configuration too)
+        self._drop_last_explicit = drop_last is not None
         # 0 is valid reference usage (torch DataLoader num_workers=0 =
         # in-process decode); here it still means "minimal": one pool thread
         self.num_threads = max(1, num_threads)

@@ -133,8 +133,15 @@ class Trainer:
         50% of the device's reported memory limit, else a platform default."""
         if self.cfg.device_cache == "off":
             return 0
-        if self.cfg.device_cache not in ("auto", "on"):
-            return int(self.cfg.device_cache)  # explicit byte budget
+        if self.cfg.device_cache != "auto":
+            try:
+                return int(self.cfg.device_cache)  # explicit byte budget
+            except ValueError:
+                raise ValueError(
+                    f"device_cache={self.cfg.device_cache!r}: expected 'auto', "
+                    "'off', or an integer byte budget (e.g. '8589934592' for "
+                    "8 GiB; suffixed forms like '8GiB' are not parsed)"
+                ) from None
         try:
             stats = jax.local_devices()[0].memory_stats() or {}
             limit = int(stats.get("bytes_limit", 0))

@@ -27,3 +27,24 @@ def test_num_classes_follows_datasets_override():
 def test_mismatched_lengths_rejected():
     with pytest.raises(ValueError, match="same length"):
         C.step2(num_classes=(20,))
+
+
+def test_unknown_dataset_without_num_classes_rejected():
+    """A custom dataset name can't derive a head size — the error must say
+    to pass num_classes, not die with a bare KeyError."""
+    with pytest.raises(ValueError, match="num_classes explicitly"):
+        C.singletask(datasets=("my_custom_set",))
+    # and WITH an explicit num_classes it goes through
+    assert C.singletask(datasets=("my_custom_set",), num_classes=(7,)).num_classes == (7,)
+
+
+def test_device_cache_value_validated(tmp_path):
+    """Unparseable device_cache budgets fail with a message listing the
+    accepted forms, not an opaque int() ValueError."""
+    from mdilss_tpu.train.protocols import build_trainer
+
+    cfg = C.step1(synthetic=True, synthetic_size=4, batch_size=2,
+                  height=16, width=32, num_epochs=1, device_cache="8GiB",
+                  savedir=str(tmp_path))
+    with pytest.raises(ValueError, match="integer byte budget"):
+        build_trainer(cfg)._device_cache_budget()

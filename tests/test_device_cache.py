@@ -83,6 +83,24 @@ def test_hybrid_cache_eval_padding():
         np.testing.assert_array_equal(np.asarray(cl)[sv], sl[sv])
 
 
+def test_caches_honor_explicit_drop_last():
+    """A Loader pinned to drop_last=False while shuffling (non-default) must
+    keep its padded final batch through both cache flavors — the caches
+    re-derive drop_last from shuffle only when the loader used the default."""
+    src = SyntheticSource(7, n=7, height=8, width=16, seed=2)
+    ld = Loader(src, batch_size=3, height=8, width=16, shuffle=True,
+                drop_last=False, seed=9)
+    stream = list(ld)
+    assert len(stream) == 3  # 7 imgs / bs 3, padded final batch
+    for cache in (DeviceCache(ld), HybridCache(ld, 4)):
+        cached = list(cache.epoch_batches(0))
+        assert len(cached) == len(stream)
+        for (si, sl, sv), (ci, cl, cv) in zip(stream, cached):
+            np.testing.assert_array_equal(cv, sv)
+            np.testing.assert_array_equal(np.asarray(ci)[sv], si[sv])
+            np.testing.assert_array_equal(np.asarray(cl)[sv], sl[sv])
+
+
 def test_trainer_hybrid_equals_streaming(tmp_path, capsys):
     """An explicit byte budget that fits only part of the synthetic set must
     route through HybridCache (stdout says 'partial') and reproduce the
