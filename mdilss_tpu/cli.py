@@ -157,6 +157,9 @@ def main(argv=None):
                          "nonzero when any domain deviates beyond --expect-tol")
     pe.add_argument("--expect-tol", type=float, default=0.5,
                     help="tolerance in mIoU percentage points (default 0.5)")
+    pe.add_argument("--f64", action="store_true",
+                    help="run the forward in float64 — bit-stable parity "
+                         "against reference torch evaluations (slower)")
 
     def _add_analysis_common(p):
         p.add_argument("ckpt")
@@ -313,6 +316,7 @@ def main(argv=None):
             num_classes=args.num_classes, data_roots=roots,
             batch_size=args.batch_size, height=args.height, width=args.width,
             synthetic=args.synthetic,
+            compute_dtype="float64" if args.f64 else "float32",
         )
         print(json.dumps({k: round(v, 4) for k, v in results.items()}))
         if args.expect:

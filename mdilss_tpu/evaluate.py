@@ -180,8 +180,17 @@ def evaluate_checkpoint(
     height: int = 512,
     width: int = 1024,
     synthetic: bool = False,
-) -> dict[str, float]:
-    """Evaluate every domain head of a checkpoint; prints + returns mIoUs."""
+    compute_dtype: str = "float32",
+    return_per_class: bool = False,
+) -> dict[str, float] | tuple[dict[str, float], dict[str, np.ndarray]]:
+    """Evaluate every domain head of a checkpoint; prints + returns mIoUs.
+
+    `compute_dtype="float64"` runs the forward in f64 (params upcast, x64
+    enabled): cross-implementation logit differences drop below any plausible
+    argmax tie gap, so per-class IoU becomes BIT-comparable against the
+    reference torch stack (tests/test_eval_parity.py). `return_per_class`
+    additionally returns {dataset: per-class IoU float64 array}.
+    """
     if num_classes is None:
         num_classes = infer_num_classes(ckpt)
         print(f"inferred num_classes {list(num_classes)} from {ckpt}")
@@ -191,7 +200,18 @@ def evaluate_checkpoint(
             f"({list(num_classes)}) in {ckpt}"
         )
     apply_fn, params, bn = load_checkpoint(ckpt, kind=kind, num_classes=num_classes)
+    if compute_dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+        params, bn = jax.tree.map(
+            lambda a: a.astype(jnp.float64) if jnp.issubdtype(a.dtype, jnp.floating) else a,
+            (params, bn),
+        )
+        inner = apply_fn
+        apply_fn = lambda p, s, x, task, **kw: inner(p, s, x.astype(jnp.float64), task, **kw)
+    elif compute_dtype != "float32":
+        raise ValueError(f"compute_dtype={compute_dtype!r}: float32 or float64")
     results = {}
+    per_class_by_dataset: dict[str, np.ndarray] = {}
     data_roots = data_roots or {}
     from .analysis.names import NAMES_BY_DATASET
 
@@ -213,4 +233,7 @@ def evaluate_checkpoint(
         color = getColorEntry(miou)
         print(f"{d}: mIoU {color}{miou * 100:.2f}\033[0m% over {len(per_class)} classes")
         results[d] = miou
+        per_class_by_dataset[d] = per_class
+    if return_per_class:
+        return results, per_class_by_dataset
     return results

@@ -71,6 +71,10 @@ def batch_norm_apply(
     # measured at 112.3 vs 111.7 ms/step on the full distill step: the
     # layout-conversion copies the profiler attributes to these converts
     # persist regardless of dtype, so the f32 affine stays for its numerics.)
-    inv = jax.lax.rsqrt(var.astype(jnp.float32) + eps) * scale.astype(jnp.float32)
-    out = x.astype(jnp.float32) * inv + (bias.astype(jnp.float32) - mean.astype(jnp.float32) * inv)
+    # compute dtype: at least f32 (bf16 inputs upcast), but an f64 forward
+    # (evaluate.py compute_dtype="float64", the bit-stable parity path) must
+    # not round through f32 here
+    cdt = jnp.promote_types(x.dtype, jnp.float32)
+    inv = jax.lax.rsqrt(var.astype(cdt) + eps) * scale.astype(cdt)
+    out = x.astype(cdt) * inv + (bias.astype(cdt) - mean.astype(cdt) * inv)
     return out.astype(x.dtype), new_state

@@ -1,0 +1,222 @@
+"""Composed END-TO-END eval parity against the reference's full torch stack.
+
+Every piece of the eval path is individually golden-tested (model logits,
+iouEval semantics, transforms, decode); this module tests the COMPOSITION —
+the exact workflow a user of the reference runs to evaluate a released
+checkpoint (Evaluation_Notebook.ipynb cells 3-5):
+
+  reference side: dataset_custom.py loaders (recursive walk + suffix filters
+  + sort) -> torchvision Resize(BILINEAR/NEAREST) + ToTensor + ToLabel +
+  Relabel(255, C-1) -> Net_RAP forward -> outputs.max(1)[1] -> iouEval.py
+  one-hot tp/fp/fn -> per-class IoU;
+
+  our side: the same on-disk PNG tree through `mdilss_tpu eval` — pth_tar
+  conversion (ckpt/pth_converter.py), data/sources.py indexing,
+  transforms.decode_pair, prepare_batch relabel, jitted argmax,
+  metrics.IoUEvaluator confusion matrix.
+
+Composition bugs (file ordering/pairing, palette decode mode, resize seam,
+relabel constant, argmax dtype) are precisely what the unit goldens miss;
+this is the strongest available proxy for the real-data parity that is
+environment-blocked (no datasets/checkpoints mountable; BASELINE.md).
+
+Exactness strategy: in float32, cross-implementation logit differences
+(~1e-5, golden-test bound 2e-4) flip argmax on pixels whose top-2 gap is
+below the error — an irreducible O(few)-pixel noise over ~57k pixels, so
+the f32 arm asserts a pixel budget. The f64 arm removes the mechanism:
+forward differences drop to ~1e-13 against top-2 gaps ~1e-5, so confusion
+counts — and therefore per-class IoU, computed by the identical
+tp/(tp+fp+fn+1e-15) f64 expression on both sides — must be BIT-IDENTICAL.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+from PIL import Image
+from torch.utils.data import DataLoader
+
+import jax
+
+from _reference_loader import load_reference_module
+
+
+# torchvision is not installed in this environment; these are its exact
+# PIL-input semantics (torchvision.transforms.functional.resize dispatches a
+# PIL image straight to img.resize((w, h), interpolation); to_tensor is
+# HWC->CHW float32 / 255) so the oracle matches notebook cell 3 bit-for-bit.
+class Compose:
+    def __init__(self, fns):
+        self.fns = fns
+
+    def __call__(self, x):
+        for f in self.fns:
+            x = f(x)
+        return x
+
+
+class Resize:
+    def __init__(self, size, interpolation):
+        self.size = size  # [h, w]
+        self.interpolation = interpolation
+
+    def __call__(self, img):
+        return img.resize((self.size[1], self.size[0]), self.interpolation)
+
+
+class ToTensor:
+    def __call__(self, img):
+        arr = np.array(img, np.uint8)
+        return torch.from_numpy(arr).permute(2, 0, 1).float().div(255)
+
+HEIGHT, WIDTH = 64, 128       # eval size (notebook: 512x1024)
+NATIVE_H, NATIVE_W = 96, 160  # on-disk size != eval size: exercises resize
+NUMC_CS, NUMC_IDD = 20, 27
+
+
+def _save_label(arr: np.ndarray, path: str):
+    """Palettized label PNG ('P' mode, identity grayscale palette) — the
+    format of real *_labelTrainIds.png files; the reference opens with
+    .convert('P') (dataset_custom.py:106), ours decodes indices directly."""
+    im = Image.fromarray(arr, mode="P")
+    im.putpalette([v for i in range(256) for v in (i, i, i)])
+    im.save(path)
+
+
+def _write_tree(root: str, *, n: int, num_classes: int, label_suffix: str,
+                seed: int) -> None:
+    """CS-convention tree: <root>/leftImg8bit/val/<city>/... +
+    <root>/gtFine/val/<city>/...; two 'cities' so the recursive walk + global
+    sort (dataset_custom.py:85-93 vs data/sources.py) is actually exercised."""
+    rng = np.random.default_rng(seed)
+    for i in range(n):
+        city = ["aa", "ab"][i % 2]
+        for sub in ("leftImg8bit/val/" + city, "gtFine/val/" + city):
+            os.makedirs(os.path.join(root, sub), exist_ok=True)
+        img = rng.integers(0, 256, (NATIVE_H, NATIVE_W, 3), dtype=np.uint8)
+        lbl = rng.integers(0, num_classes - 1, (NATIVE_H, NATIVE_W)).astype(np.uint8)
+        lbl[rng.random((NATIVE_H, NATIVE_W)) < 0.07] = 255  # ignore pixels
+        stem = f"{city}_{i:03d}"
+        Image.fromarray(img).save(
+            os.path.join(root, "leftImg8bit/val", city, f"{stem}_leftImg8bit.png"))
+        _save_label(lbl, os.path.join(
+            root, "gtFine/val", city, f"{stem}_gtFine_{label_suffix}"))
+
+
+def _reference_eval(model, dataset, task: int, num_cls: int, ref_iou,
+                    dtype: torch.dtype):
+    """Notebook cell 5's eval loop, verbatim semantics on CPU: bs-1 loader,
+    eval mode, argmax -> iouEval.addBatch(pred.unsqueeze(1), target)."""
+    loader = DataLoader(dataset, num_workers=0, batch_size=1, shuffle=False)
+    model.eval()
+    ev = ref_iou.iouEval(num_cls, num_cls - 1)
+    with torch.no_grad():
+        for images, labels, _fn, _fnGt in loader:
+            outputs = model(images.to(dtype), task)
+            ev.addBatch(outputs.max(1)[1].unsqueeze(1).data, labels.data)
+    miou, per_class = ev.getIoU()
+    return float(miou), per_class.numpy().astype(np.float64)
+
+
+@pytest.fixture(scope="module")
+def parity_setup(tmp_path_factory):
+    """On-disk trees (CS + IDD conventions) and a reference-format checkpoint
+    of a random-weight 2-head Net_RAP."""
+    tmp = tmp_path_factory.mktemp("eval_parity")
+    cs_root, idd_root = str(tmp / "cs"), str(tmp / "idd")
+    _write_tree(cs_root, n=4, num_classes=NUMC_CS,
+                label_suffix="labelTrainIds.png", seed=11)
+    _write_tree(idd_root, n=3, num_classes=NUMC_IDD,
+                label_suffix="labellevel3Ids.png", seed=22)
+
+    ref_rap = load_reference_module("models/erfnet_RA_parallel.py")
+    torch.manual_seed(7)
+    model = ref_rap.Net([NUMC_CS, NUMC_IDD], nb_tasks=2, cur_task=1)
+    model.eval()
+    ckpt = str(tmp / "model_best.pth.tar")
+    torch.save(
+        {"epoch": 1, "arch": "Net",
+         "state_dict": {"module." + k: v for k, v in model.state_dict().items()}},
+        ckpt,
+    )
+
+    dc = load_reference_module("dataset_custom.py")
+    tr = load_reference_module("transform.py")
+    input_transform = Compose([Resize([HEIGHT, WIDTH], Image.BILINEAR),
+                               ToTensor()])
+    tt_cs = Compose([Resize([HEIGHT, WIDTH], Image.NEAREST), tr.ToLabel(),
+                     tr.Relabel(255, NUMC_CS - 1)])
+    tt_idd = Compose([Resize([HEIGHT, WIDTH], Image.NEAREST), tr.ToLabel(),
+                      tr.Relabel(255, NUMC_IDD - 1)])
+    ds_cs = dc.cityscapes(cs_root, input_transform, tt_cs, "val")
+    ds_idd = dc.IDD(idd_root, input_transform, tt_idd, "val")
+    assert len(ds_cs) == 4 and len(ds_idd) == 3
+    ref_iou = load_reference_module("iouEval.py")
+    return dict(cs_root=cs_root, idd_root=idd_root, ckpt=ckpt, model=model,
+                ds_cs=ds_cs, ds_idd=ds_idd, ref_iou=ref_iou)
+
+
+@pytest.mark.slow
+def test_composed_eval_parity_f64_bit_identical(parity_setup):
+    """f64 both sides: per-class IoU bit-identical, mIoU to >=12 decimals."""
+    s = parity_setup
+    model = s["model"].double()
+    ref = {
+        "cityscapes": _reference_eval(model, s["ds_cs"], 0, NUMC_CS,
+                                      s["ref_iou"], torch.float64),
+        "IDD": _reference_eval(model, s["ds_idd"], 1, NUMC_IDD,
+                               s["ref_iou"], torch.float64),
+    }
+    from mdilss_tpu.evaluate import evaluate_checkpoint
+
+    try:
+        results, per_class = evaluate_checkpoint(
+            s["ckpt"], kind="rap", datasets=["cityscapes", "IDD"],
+            data_roots={"cityscapes": s["cs_root"], "IDD": s["idd_root"]},
+            height=HEIGHT, width=WIDTH, compute_dtype="float64",
+            return_per_class=True,
+        )
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+    for d in ("cityscapes", "IDD"):
+        ref_miou, ref_pc = ref[d]
+        # identical confusion counts => the shared tp/(tp+fp+fn+1e-15) f64
+        # expression must produce bit-identical per-class IoU
+        np.testing.assert_array_equal(per_class[d], ref_pc, err_msg=d)
+        assert abs(results[d] - ref_miou) < 1e-12, (d, results[d], ref_miou)
+
+
+@pytest.mark.slow
+def test_composed_eval_parity_f32_cli(parity_setup, capsys):
+    """The default-f32 CLI (`python -m mdilss_tpu eval`) against the torch
+    f32 stack: identical up to an argmax-tie pixel budget.
+
+    ~57k evaluated pixels x P(top-2 gap < cross-impl error ~1e-5) bounds
+    expected flips to O(1); each flip moves one class's IoU by at most
+    1/region-size (~1/500). Any composition bug moves orders of magnitude
+    more: wrong pairing scrambles ~all pixels, a palette/relabel bug hits
+    the 7% ignore mass, a one-row resize seam is 128 px."""
+    s = parity_setup
+    model = s["model"].float()
+    ref = {
+        "cityscapes": _reference_eval(model, s["ds_cs"], 0, NUMC_CS,
+                                      s["ref_iou"], torch.float32),
+        "IDD": _reference_eval(model, s["ds_idd"], 1, NUMC_IDD,
+                               s["ref_iou"], torch.float32),
+    }
+    from mdilss_tpu.cli import main as cli_main
+
+    cli_main([
+        "eval", s["ckpt"], "--kind", "rap", "--datasets", "cityscapes", "IDD",
+        "--data-root", f"cityscapes={s['cs_root']}",
+        "--data-root", f"IDD={s['idd_root']}",
+        "--height", str(HEIGHT), "--width", str(WIDTH),
+    ])
+    out = capsys.readouterr().out.strip().splitlines()
+    results = json.loads(out[-1])
+    assert set(results) == {"cityscapes", "IDD"}
+    for d, (ref_miou, _) in ref.items():
+        assert abs(results[d] - ref_miou) < 2e-3, (d, results[d], ref_miou)
