@@ -351,6 +351,11 @@ class Trainer:
     def train_epoch(self, epoch: int) -> dict:
         cfg = self.cfg
         t0 = time.time()
+        # the dropout-mask RNG is (seed, epoch)-keyed, not construction-keyed:
+        # a resumed run must draw the SAME mask stream an uninterrupted run
+        # draws for this epoch, or resume is not bit-equivalent
+        # (tests/test_trainer.py::test_resume_bit_equivalent)
+        self._np_rng = np.random.default_rng((cfg.seed + 1, epoch))
         losses = {k: [] for k in ("loss", "ce", "kld")}
         self._train_evs = (
             {d: IoUEvaluator(self.cfg.num_classes[t], self.cfg.num_classes[t] - 1)
@@ -461,7 +466,11 @@ class Trainer:
         return float(np.mean(losses)), miou
 
     # ------------------------------------------------------------------
-    def fit(self) -> dict:
+    def fit(self, stop_after: int | None = None) -> dict:
+        """Run the epoch loop. `stop_after` ends the run after that epoch's
+        checkpoint is written — simulates an interruption mid-schedule (the
+        LR schedule and jitted steps are keyed to cfg.num_epochs, so resume
+        equivalence can only be tested against the same config)."""
         cfg = self.cfg
         cur_ds = cfg.datasets[cfg.current_task]
         history = {}
@@ -532,5 +541,7 @@ class Trainer:
                 orbax_io.save(os.path.join(cfg.savedir, "best"), epoch, self.ts,
                               best_acc=self.best_acc, rng=self.rng)
             history = row
+            if stop_after is not None and epoch >= stop_after:
+                break
         self._tracer.stop()
         return history

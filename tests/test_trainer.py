@@ -45,6 +45,45 @@ def test_orbax_round_trip(tmp_path):
     )
 
 
+@pytest.mark.slow
+def test_resume_bit_equivalent(tmp_path):
+    """Interrupt-and-resume is EXACTLY the uninterrupted run: 2 epochs +
+    restore + 2 epochs ends bit-identical (params, Adam moments, BN state,
+    PRNG stream) to 4 straight epochs. This is the property the full-state
+    Orbax restore (ckpt/orbax_io.py) exists to provide — the reference's
+    --resume was parsed and never used (train_RAPFT_step1.py:547). Exercises
+    every restored piece: per-epoch (seed, epoch)-keyed mask RNG, jax PRNG
+    key, optimizer moments/count, BN running stats, epoch-seeded data order."""
+    kw = dict(num_epochs=4, **TINY)
+    cfg_a = C.step1(savedir=str(tmp_path / "a"), **kw)
+    tr_a = build_trainer(cfg_a)
+    tr_a.fit()
+
+    cfg_b1 = C.step1(savedir=str(tmp_path / "b"), **kw)
+    build_trainer(cfg_b1).fit(stop_after=2)
+    cfg_b2 = C.step1(savedir=str(tmp_path / "b"), resume=True, **kw)
+    tr_b = build_trainer(cfg_b2)
+    assert tr_b.start_epoch == 3
+    tr_b.fit()
+
+    for name, a, b in (
+        ("params", tr_a.ts.params, tr_b.ts.params),
+        ("bn", tr_a.ts.bn, tr_b.ts.bn),
+        ("opt_m", tr_a.ts.opt.m, tr_b.ts.opt.m),
+        ("opt_v", tr_a.ts.opt.v, tr_b.ts.opt.v),
+    ):
+        la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+        assert len(la) == len(lb) and la, name
+        for x, y in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=name)
+    assert int(tr_a.ts.opt.count) == int(tr_b.ts.opt.count)
+    np.testing.assert_array_equal(
+        jax.random.key_data(tr_a.rng), jax.random.key_data(tr_b.rng)
+    )
+    rows = [json.loads(l) for l in open(tmp_path / "b" / "metrics.jsonl")]
+    assert [r["epoch"] for r in rows] == [1, 2, 3, 4]
+
+
 def test_resume_continues(tmp_path):
     cfg = C.step1(num_epochs=2, savedir=str(tmp_path / "run"), resume=True, **TINY)
     build_trainer(cfg).fit()
