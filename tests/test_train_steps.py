@@ -37,6 +37,43 @@ def ref_mod():
     return load_reference_module("models/erfnet_RA_parallel.py")
 
 
+@pytest.fixture
+def torch_single_thread():
+    """Pin torch to one thread for the duration of a test: multithreaded CPU
+    conv backward partitions reductions by runtime load, so its low-order
+    bits are NONdeterministic — enough to flip near-zero-grad Adam signs and
+    push marginal trajectory tolerances over the line when the CI host is
+    busy. Single-threaded torch is bit-deterministic."""
+    n = torch.get_num_threads()
+    torch.set_num_threads(1)
+    yield
+    torch.set_num_threads(n)
+
+
+def _assert_first_turn_matches_lr_tree(before, after, lr_tree, poly=1.0):
+    """Adam's first step moves every element by ~±lr·poly: at step count 1,
+    m̂/(√v̂+eps) = g/(|g|+eps) ≈ sign(g), and L2 weight decay makes g nonzero
+    even for heads not forwarded this turn. So the per-element |Δ| of turn 1
+    reads back the ENTIRE lr tree — the direct check for the
+    subtly-wrong-LR-grouping / freeze-mask failure mode that convergence
+    floors and drift-tolerant trajectory comparisons cannot catch."""
+    lb, la, ll = (jax.tree.leaves(t) for t in (before, after, lr_tree))
+    assert len(lb) == len(la) == len(ll) and lb
+    for b, a, lr in zip(lb, la, ll):
+        d = np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64))
+        want = np.broadcast_to(np.asarray(lr, np.float64) * poly, d.shape)
+        # no element may move more than its lr (catches a too-large group,
+        # or any movement at all on lr=0 / frozen slices)
+        np.testing.assert_array_less(d, want * 1.02 + 1e-9)
+        # and the group's biggest mover must come close to its lr (catches
+        # a too-small or zeroed group). Leaves that legitimately don't move
+        # are skipped: an unforwarded head's BN bias starts at exactly 0, so
+        # its wd-only gradient is 0 too (d == 0 identically).
+        top = float(want.max())
+        if top > 0 and d[want == top].size >= 4 and float(d.max()) > 0:
+            assert d[want == top].max() >= 0.7 * top
+
+
 @pytest.mark.slow
 def test_step2_trajectory_matches_torch_oracle(ref_mod, rng):
     C = 20
@@ -117,9 +154,15 @@ def test_step2_trajectory_matches_torch_oracle(ref_mod, rng):
     ts = steps.init_train_state(s_params, s_bn)
     teacher = steps.ModelState(t_params, t_bn)
     our_losses = []
-    for x, y in batches:
+    for bi, (x, y) in enumerate(batches):
         ts, metrics = step(ts, teacher, jnp.asarray(x), jnp.asarray(y), None, None, 1)
         our_losses.append((float(metrics["ce"]), float(metrics["kld"])))
+        if bi == 0:
+            # batch 1 reads back the WHOLE rap lr tree elementwise: shared
+            # convs at 5e-6, current-task DS columns at 5e-4, frozen task-0
+            # DS columns at exactly zero movement
+            # (_assert_first_turn_matches_lr_tree docstring)
+            _assert_first_turn_matches_lr_tree(s_params, ts.params, lr_tree)
 
     # batch 1 compares fresh states tightly; batch 2 sees the O(1e-4) param
     # noise from batch 1's Adam step, so its loss tolerance is looser. KLD
@@ -328,6 +371,222 @@ def test_step3_two_phase_trajectory_matches_torch_oracle(ref_mod, rng):
             np.testing.assert_allclose(got_final[k], v, atol=5e-3, err_msg=k)
             n_trained += 1
     assert n_frozen > 100 and n_trained > 200
+
+
+@pytest.mark.slow
+def test_multitask_trajectory_matches_torch_oracle(rng, torch_single_thread):
+    """Round-robin multitask trajectory parity: 2 domains x 2 iterations,
+    one Adam step per (iteration, domain) turn with the reference's grouped
+    LRs — shared encoder at 5e-4/nb_tasks, all decoders at 5e-4
+    (train_multi_task.py:207-218), per-domain weighted CE
+    (train_multi_task.py:241-265).
+
+    Oracle grads are pre-seeded to zero (torch-1.x `zero_grad` zeroed in
+    place): in steady state every Adam step applies weight decay to BOTH
+    decoders, including the one not forwarded this turn — the semantics our
+    flattened lr-tree optimizer implements. (The reference's literal first
+    iteration differs for one turn only: a never-backwarded decoder has
+    `.grad is None` and is skipped until its first turn, a one-off wd-sized
+    transient.)"""
+    C = (6, 7)
+    ref_mt = load_reference_module("models/erfnet_multi_task.py")
+    model_t = ref_mt.Net(list(C), nb_tasks=2, cur_task=0)
+    model_t.train()
+    _disable_dropout(model_t)
+
+    from mdilss_tpu.models import erfnet_multihead
+
+    params, bn = convert_state_dict(_np_state_dict(model_t), kind="multi_task", nb_tasks=2)
+
+    weights = []
+    for nc in C:
+        w = rng.random(nc, dtype=np.float32) * 5 + 0.5
+        w[nc - 1] = 0.0
+        weights.append(w)
+
+    # ---- torch oracle: the reference's two param groups ----
+    named = list(model_t.named_parameters())
+    topt = torch.optim.Adam(
+        [{"params": [p for n, p in named if "encoder" in n], "lr": 5e-4 / 2},
+         {"params": [p for n, p in named if "decoder" in n]}],
+        5e-4, (0.9, 0.999), eps=1e-8, weight_decay=1e-4,
+    )
+    sched = torch.optim.lr_scheduler.LambdaLR(topt, lambda e: (1 - (e - 1) / 150) ** 0.9)
+    sched.step(1)
+    for p in model_t.parameters():  # torch-1.x steady-state (see docstring)
+        p.grad = torch.zeros_like(p)
+
+    n_iters = 2
+    batches = {
+        t: [
+            (rng.standard_normal((2, 32, 64, 3), dtype=np.float32),
+             rng.integers(0, C[t], size=(2, 32, 64)))
+            for _ in range(n_iters)
+        ]
+        for t in range(2)
+    }
+    torch_losses = []
+    for it in range(n_iters):
+        for t in range(2):
+            x, y = batches[t][it]
+            tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+            out = model_t(tx, t)
+            loss = torch.nn.CrossEntropyLoss(torch.from_numpy(weights[t].copy()))(
+                out, torch.from_numpy(y)
+            )
+            topt.zero_grad(set_to_none=False)
+            loss.backward()
+            topt.step()
+            torch_losses.append(loss.item())
+
+    # ---- our per-domain jitted CE steps over ONE shared train state ----
+    lr_tree = masks.multihead_lr_tree(params, encoder_lr=5e-4 / 2, decoder_lr=5e-4)
+    dsteps = [
+        steps.make_ce_step(
+            erfnet_multihead.apply, task=t, class_weight=jnp.asarray(weights[t]),
+            lr_tree=lr_tree, num_epochs=150,
+        )
+        for t in range(2)
+    ]
+    ts = steps.init_train_state(params, bn)
+    our_losses = []
+    for it in range(n_iters):
+        for t in range(2):
+            x, y = batches[t][it]
+            ts, m = dsteps[t](ts, jnp.asarray(x), jnp.asarray(y), None, None, 1)
+            our_losses.append(float(m["loss"]))
+            if it == 0 and t == 0:
+                # turn 1 reads back the whole lr tree: encoder 5e-4/2,
+                # BOTH decoders 5e-4 (the unforwarded one via wd-only grads)
+                _assert_first_turn_matches_lr_tree(params, ts.params, lr_tree)
+    assert int(ts.opt.count) == 4  # 2 iters x 2 domains
+
+    # turn-0 compares fresh states tightly (protocol wiring: weighted CE,
+    # head selection). Later turns see Adam's first-step sign noise — a
+    # near-zero-grad element whose sign differs cross-impl moves +-lr, i.e.
+    # 1e-3 per flip — which compounds into O(1%) loss drift; structural
+    # errors are caught by turn 0 + the parameter trajectory below.
+    np.testing.assert_allclose(our_losses[0], torch_losses[0], rtol=1e-4)
+    np.testing.assert_allclose(our_losses[1], torch_losses[1], rtol=5e-3)
+    np.testing.assert_allclose(our_losses[2:], torch_losses[2:], rtol=2e-2)
+
+    ref_final = _np_state_dict(model_t)
+    got_final = export_state_dict(ts.params, ts.bn, kind="multi_task")
+    n_checked = 0
+    for k, v in ref_final.items():
+        if "num_batches_tracked" in k:
+            continue
+        if "running" in k:
+            # BN running stats track batch ACTIVATION statistics, which
+            # amplify the +-lr parameter sign-noise through network depth —
+            # measured drift ~0.01 at encoder layer 6 after 4 turns;
+            # rtol covers variance entries, whose drift scales with the
+            # activation magnitude
+            np.testing.assert_allclose(got_final[k], v, rtol=5e-2, atol=3e-2,
+                                       err_msg=k)
+        else:
+            # every param takes 2 Adam steps (its domain turn + the other
+            # turn's wd-only update): worst-case sign-noise 4*2*5e-4 + margin
+            np.testing.assert_allclose(got_final[k], v, atol=5e-3, err_msg=k)
+        n_checked += 1
+    assert n_checked > 200
+
+
+@pytest.mark.slow
+def test_ft_trajectory_matches_torch_oracle(rng, torch_single_thread):
+    """FT (ftp1) trajectory parity: encoder + new head in the optimizer, old
+    head excluded and requires_grad=False (main_ftp1_enc_newbn.py:229-242) —
+    so the old head must not move a ULP on either side while encoder/new head
+    follow the same Adam(5e-4, wd 1e-4) poly-scheduled trajectory."""
+    C_OLD, C_NEW = 6, 8
+    ref_ft = load_reference_module("models/erfnet_ftp1.py")
+    model_t = ref_ft.Net(C_OLD, C_NEW)
+    model_t.train()
+    _disable_dropout(model_t)
+    for n, p in model_t.named_parameters():
+        if "decoder_old" in n:
+            p.requires_grad = False
+
+    from mdilss_tpu.models import erfnet_multihead
+
+    params, bn = convert_state_dict(_np_state_dict(model_t), kind="ftp1", nb_tasks=2)
+
+    w = rng.random(C_NEW, dtype=np.float32) * 5 + 0.5
+    w[C_NEW - 1] = 0.0
+
+    topt = torch.optim.Adam(
+        list(model_t.encoder.parameters()) + list(model_t.decoder_new.parameters()),
+        5e-4, (0.9, 0.999), eps=1e-8, weight_decay=1e-4,
+    )
+    sched = torch.optim.lr_scheduler.LambdaLR(topt, lambda e: (1 - (e - 1) / 150) ** 0.9)
+    sched.step(1)
+
+    batches = [
+        (rng.standard_normal((2, 32, 64, 3), dtype=np.float32),
+         rng.integers(0, C_NEW, size=(2, 32, 64)))
+        for _ in range(3)
+    ]
+    torch_losses = []
+    tw = torch.from_numpy(w.copy())
+    for x, y in batches:
+        tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+        out = model_t(tx)  # decoder_new path (erfnet_ftp1.py:143-149)
+        loss = torch.nn.CrossEntropyLoss(tw)(out, torch.from_numpy(y))
+        topt.zero_grad(set_to_none=False)
+        loss.backward()
+        topt.step()
+        torch_losses.append(loss.item())
+
+    lr_tree = masks.multihead_lr_tree(params, encoder_lr=5e-4,
+                                      decoder_lrs=[0.0, 5e-4])
+    step = steps.make_ce_step(
+        erfnet_multihead.apply, task=1, class_weight=jnp.asarray(w),
+        lr_tree=lr_tree, num_epochs=150,
+    )
+    ts = steps.init_train_state(params, bn)
+    our_losses = []
+    for bi, (x, y) in enumerate(batches):
+        ts, m = step(ts, jnp.asarray(x), jnp.asarray(y), None, None, 1)
+        our_losses.append(float(m["loss"]))
+        if bi == 0:
+            # batch 1 reads back the lr tree: encoder + new head at 5e-4,
+            # old head exactly zero movement
+            _assert_first_turn_matches_lr_tree(params, ts.params, lr_tree)
+
+    # batch 1 tight (wiring); later batches carry Adam first-step sign noise
+    # (+-lr per flipped near-zero-grad element -> O(1%) loss drift); the
+    # parameter trajectory below is the structural check
+    np.testing.assert_allclose(our_losses[0], torch_losses[0], rtol=1e-4)
+    np.testing.assert_allclose(our_losses[1], torch_losses[1], rtol=5e-3)
+    np.testing.assert_allclose(our_losses[2], torch_losses[2], rtol=2e-2)
+
+    ref_final = _np_state_dict(model_t)
+    got_final = export_state_dict(ts.params, ts.bn, kind="ftp1")
+    initial = export_state_dict(params, bn, kind="ftp1")
+    n_frozen = n_trained = 0
+    for k, v in ref_final.items():
+        if "num_batches_tracked" in k:
+            continue
+        if "decoder_old" in k and "running" not in k:
+            np.testing.assert_array_equal(got_final[k], initial[k], err_msg=k)
+            np.testing.assert_array_equal(v, initial[k], err_msg=k)
+            n_frozen += 1
+        elif "running" in k:
+            # BN running stats track batch ACTIVATION statistics, which
+            # amplify the +-lr parameter sign-noise through network depth —
+            # measured drift ~0.01 at encoder layer 6 after 3 batches.
+            # (decoder_old's stats also land here: not forwarded on either
+            # side, so they stay at init and match trivially.) rtol
+            # covers variance entries, whose drift scales with the
+            # activation magnitude.
+            np.testing.assert_allclose(got_final[k], v, rtol=5e-2, atol=3e-2,
+                                       err_msg=k)
+            n_trained += 1
+        else:
+            # 3 Adam steps of worst-case sign noise: 3 * 2 * 5e-4 + margin
+            np.testing.assert_allclose(got_final[k], v, atol=4e-3, err_msg=k)
+            n_trained += 1
+    assert n_frozen > 10 and n_trained > 100
 
 
 def test_distill_step_freeze_semantics(ref_mod):
