@@ -237,6 +237,10 @@ def main(args) -> None:
     ts3, m3 = run_one3(cache_iter[0][:2], ts3)  # compile
     float(m3["loss"])
     n3 = max(6, n_steps // 2)
+    # the hybrid arm needs MORE steps than the others: its per-step time
+    # carries host-decode thread jitter, and at n3=12 the round-3 noise_pct
+    # hit 68.8% — too noisy to headline a wall-clock projection from
+    n_hyb = max(30, n_steps)
 
     def arm_step3_cached(ts3_box):
         t0 = time.perf_counter()
@@ -266,15 +270,15 @@ def main(args) -> None:
         done = 0
         epoch = 0
         m = None
-        while done < n3:
+        while done < n_hyb:
             for imgs, lbls, _ in hybrid.epoch_batches(epoch):
                 ts3_box[0], m = run_one3((imgs, lbls), ts3_box[0])
                 done += 1
-                if done >= n3:
+                if done >= n_hyb:
                     break
             epoch += 1
         float(m["loss"])
-        return batch * n3 / (time.perf_counter() - t0)
+        return batch * n_hyb / (time.perf_counter() - t0)
 
     # warm the hybrid gather/scatter programs (one per uncached-count)
     for imgs, lbls, _ in hybrid.epoch_batches(0):
@@ -297,8 +301,53 @@ def main(args) -> None:
     noise = {k: _noise_pct(v) for k, v in samples.items()}
 
     train_ips = med["train_cached"]
+
+    # TRAINER TAX: the published wall-clock projections must rest on the code
+    # users actually run, not this file's hand-assembled loop. Run the
+    # production Trainer (train/loop.py: real config, build_trainer wiring,
+    # device cache, per-batch rng replicate / mask gen / shard_batch / metric
+    # accumulation) at the bench config and compare steady-state epochs.
+    def measure_trainer_tax():
+        import shutil
+        import tempfile
+
+        from mdilss_tpu import config as C
+        from mdilss_tpu.train.protocols import build_trainer
+
+        steps_per_epoch = 20
+        savedir = tempfile.mkdtemp(prefix="mdilss_trainer_tax_")
+        cfg = C.step2(
+            savedir=savedir, synthetic=True,
+            synthetic_size=steps_per_epoch * batch, batch_size=batch,
+            height=height, width=width,
+            # LR-schedule horizon matches the bench arm's jitted step
+            # (num_epochs is baked into the compiled program); epochs RUN
+            # is the range below, not this
+            num_epochs=150, eval_every=1000, eval_old_every=1000,
+            compute_dtype="bfloat16" if args.dtype == "bf16" else "float32",
+            remat=True, device_cache="auto", iou_train=False,
+        )
+        tr = build_trainer(cfg)
+        epoch_secs = []
+        for epoch in range(1, 4):  # epoch 1 pays compile + cache build
+            stats = tr.train_epoch(epoch)  # includes the end-of-epoch drain sync
+            epoch_secs.append(stats["epoch_seconds"])
+        shutil.rmtree(savedir, ignore_errors=True)
+        steady = _median(epoch_secs[1:])
+        t_ips = cfg.synthetic_size / steady
+        return t_ips, [round(s, 2) for s in epoch_secs]
+
+    trainer_ips, trainer_epoch_secs = measure_trainer_tax()
+    trainer_tax_pct = round(100.0 * (1.0 - trainer_ips / train_ips), 1)
+
     step3_mesh_hours = 150 * IDD_TRAIN_IMAGES / med["step3_cached"] / 3600
     step3_single_hours = 150 * IDD_TRAIN_IMAGES / med["step3_hybrid"] / 3600
+    # explicit interval from the pass spread: the hybrid arm carries
+    # host-decode jitter, so a point projection alone overstates certainty
+    step3_single_hours_range = [
+        round(150 * IDD_TRAIN_IMAGES / max(samples["step3_hybrid"]) / 3600, 2),
+        round(150 * IDD_TRAIN_IMAGES / min(samples["step3_hybrid"]) / 3600, 2),
+    ]
     del ts3_box[0], teacher3  # release HBM before the inference section
 
     # secondary: pure inference throughput (argmax masks), eval mode.
@@ -329,11 +378,21 @@ def main(args) -> None:
     ts = ts_box[0]
     int(infer_chain(ts.params, ts.bn, xs[0]))
     reps = max(n_steps // K_INNER, 2)
-    t0 = time.perf_counter()
-    accs = [infer_chain(ts.params, ts.bn, xs[r % len(xs)]) for r in range(reps)]
-    for a in accs:
-        int(a)
-    infer_ips = batch * reps * K_INNER / (time.perf_counter() - t0)
+
+    # Same noise discipline as the train arms (round-3 verdict: the single
+    # timed block couldn't distinguish tunnel drift from regression across
+    # the 2367->1991->1730 round series): >=3 passes, median + noise_pct.
+    def arm_infer():
+        t0 = time.perf_counter()
+        accs = [infer_chain(ts.params, ts.bn, xs[r % len(xs)])
+                for r in range(reps)]
+        for a in accs:
+            int(a)
+        return batch * reps * K_INNER / (time.perf_counter() - t0)
+
+    infer_samples = [arm_infer() for _ in range(max(3, n_passes))]
+    infer_ips = _median(infer_samples)
+    noise["infer"] = _noise_pct(infer_samples)
 
     step_ms = 1000.0 * batch / train_ips
     result = {
@@ -345,6 +404,14 @@ def main(args) -> None:
         "vs_baseline": round(train_ips / BASELINE_IMG_PER_SEC_PER_GPU, 2),
         "extras": {
             "host_streamed_train_images_per_sec": round(med["train_streamed"], 2),
+            "trainer_images_per_sec": round(trainer_ips, 2),
+            "trainer_tax_pct": trainer_tax_pct,
+            "trainer_epoch_seconds": trainer_epoch_secs,
+            "trainer_tax_note": "production Trainer (train/loop.py via "
+                                "build_trainer, step2 synthetic + device "
+                                "cache, bench config) steady-state epochs 2-3 "
+                                "vs this file's train_cached arm; epoch 1 "
+                                "pays compile + cache build and is excluded",
             "infer_images_per_sec_per_chip": round(infer_ips, 2),
             "infer_path": "xla (pallas-fused path ties within noise: "
                           "interleaved medians 1884 vs 1831 img/s)",
@@ -364,6 +431,7 @@ def main(args) -> None:
             "step3_hybrid_images_per_sec_per_chip": round(med["step3_hybrid"], 2),
             "step3_step_ms": round(1000.0 * batch / med["step3_cached"], 1),
             "step3_projected_hours_single_chip": round(step3_single_hours, 2),
+            "step3_projected_hours_single_chip_range": step3_single_hours_range,
             "step3_projected_hours_mesh_cache": round(step3_mesh_hours, 2),
             "step3_baseline_hours": 96,
             "step3_speedup_one_chip_vs_4x1080ti": round(96 / step3_single_hours, 1),
