@@ -20,9 +20,11 @@ Usage (real TPU chip):
   timeout 1800 python tools/layout_exp.py --order 0,1,2,3,4 [--where ce|kld|both]
 
 --order is the major_to_minor permutation for the rank-5 packed logits
-("default" = (4,3,2,1,0), row-major). The constraint applies to the primal
-logits; `layout_constraint_p`'s transpose applies the SAME constraint to the
-cotangent, which is exactly the tensor the profiled copies relayout.
+("default" = (0,1,2,3,4), row-major; NOTE jax Layout lists MAJOR first —
+the reverse of HLO's {minor,...,major} braces, so the profiled copies'
+HLO target {2,1,4,3,0} is --order 0,3,4,1,2). The constraint applies to the
+primal logits; `layout_constraint_p`'s transpose applies the SAME constraint
+to the cotangent, which is exactly the tensor the profiled copies relayout.
 """
 from __future__ import annotations
 
@@ -200,7 +202,7 @@ if __name__ == "__main__":
     if a.inspect:
         inspect()
     elif a.order:
-        order = ((4, 3, 2, 1, 0) if a.order == "default"
+        order = ((0, 1, 2, 3, 4) if a.order == "default"
                  else tuple(int(v) for v in a.order.split(",")))
         ab(order, a.where, a.steps, a.passes)
     else:
