@@ -106,15 +106,21 @@ def _write_tree(root: str, *, n: int, num_classes: int, label_suffix: str,
 
 
 def _reference_eval(model, dataset, task: int, num_cls: int, ref_iou,
-                    dtype: torch.dtype):
+                    dtype: torch.dtype, fwd=None):
     """Notebook cell 5's eval loop, verbatim semantics on CPU: bs-1 loader,
-    eval mode, argmax -> iouEval.addBatch(pred.unsqueeze(1), target)."""
+    eval mode, argmax -> iouEval.addBatch(pred.unsqueeze(1), target).
+    `fwd(model, images, task)` overrides the forward call for model families
+    whose head selection is not a positional task index (ftp1's
+    decoder_old=/decoder_new= flags, erfnet_ftp1.py:143-149)."""
     loader = DataLoader(dataset, num_workers=0, batch_size=1, shuffle=False)
     model.eval()
     ev = ref_iou.iouEval(num_cls, num_cls - 1)
     with torch.no_grad():
         for images, labels, _fn, _fnGt in loader:
-            outputs = model(images.to(dtype), task)
+            if fwd is None:
+                outputs = model(images.to(dtype), task)
+            else:
+                outputs = fwd(model, images.to(dtype), task)
             ev.addBatch(outputs.max(1)[1].unsqueeze(1).data, labels.data)
     miou, per_class = ev.getIoU()
     return float(miou), per_class.numpy().astype(np.float64)
@@ -185,6 +191,53 @@ def test_composed_eval_parity_f64_bit_identical(parity_setup):
         ref_miou, ref_pc = ref[d]
         # identical confusion counts => the shared tp/(tp+fp+fn+1e-15) f64
         # expression must produce bit-identical per-class IoU
+        np.testing.assert_array_equal(per_class[d], ref_pc, err_msg=d)
+        assert abs(results[d] - ref_miou) < 1e-12, (d, results[d], ref_miou)
+
+
+@pytest.mark.slow
+def test_composed_eval_parity_ftp1_f64(parity_setup):
+    """Same composed parity for the NAMED-head family: an ftp1 checkpoint
+    (decoder_old / decoder_new named modules, erfnet_ftp1.py:139-141) through
+    `evaluate_checkpoint(kind='ftp1')` with num_classes INFERRED from the
+    checkpoint — locking the named-head mapping (evaluate.infer_num_classes)
+    plus the ftp1 converter against the reference's flag-selected forward."""
+    s = parity_setup
+    ref_ft = load_reference_module("models/erfnet_ftp1.py")
+    torch.manual_seed(13)
+    model = ref_ft.Net(NUMC_CS, NUMC_IDD)  # f32: the reference ckpt format
+    model.eval()
+    ckpt = os.path.join(os.path.dirname(s["ckpt"]), "ftp1_best.pth.tar")
+    torch.save(
+        {"epoch": 1, "arch": "Net",
+         "state_dict": {"module." + k: v for k, v in model.state_dict().items()}},
+        ckpt,
+    )
+
+    def ft_fwd(m, images, task):
+        return m(images, decoder_old=(task == 0), decoder_new=(task == 1))
+
+    model_f64 = model.double()  # both sides upcast the same f32 weights
+    ref = {
+        "cityscapes": _reference_eval(model_f64, s["ds_cs"], 0, NUMC_CS,
+                                      s["ref_iou"], torch.float64, fwd=ft_fwd),
+        "IDD": _reference_eval(model_f64, s["ds_idd"], 1, NUMC_IDD,
+                               s["ref_iou"], torch.float64, fwd=ft_fwd),
+    }
+    from mdilss_tpu.evaluate import evaluate_checkpoint
+
+    try:
+        results, per_class = evaluate_checkpoint(
+            ckpt, kind="ftp1", datasets=["cityscapes", "IDD"],
+            data_roots={"cityscapes": s["cs_root"], "IDD": s["idd_root"]},
+            height=HEIGHT, width=WIDTH, compute_dtype="float64",
+            return_per_class=True,
+        )
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+    for d in ("cityscapes", "IDD"):
+        ref_miou, ref_pc = ref[d]
         np.testing.assert_array_equal(per_class[d], ref_pc, err_msg=d)
         assert abs(results[d] - ref_miou) < 1e-12, (d, results[d], ref_miou)
 
