@@ -196,6 +196,36 @@ def test_composed_eval_parity_f64_bit_identical(parity_setup):
 
 
 @pytest.mark.slow
+def test_cli_f64_flag_matches_library(parity_setup, capsys):
+    """`eval --f64` wires through to compute_dtype=float64: the CLI's
+    (4-decimal-rounded) output equals the library f64 evaluation."""
+    s = parity_setup
+    from mdilss_tpu.cli import main as cli_main
+    from mdilss_tpu.evaluate import evaluate_checkpoint
+
+    try:
+        lib = evaluate_checkpoint(
+            s["ckpt"], kind="rap", datasets=["cityscapes", "IDD"],
+            data_roots={"cityscapes": s["cs_root"], "IDD": s["idd_root"]},
+            height=HEIGHT, width=WIDTH, compute_dtype="float64",
+        )
+        capsys.readouterr()
+        cli_main([
+            "eval", s["ckpt"], "--kind", "rap",
+            "--datasets", "cityscapes", "IDD",
+            "--data-root", f"cityscapes={s['cs_root']}",
+            "--data-root", f"IDD={s['idd_root']}",
+            "--height", str(HEIGHT), "--width", str(WIDTH), "--f64",
+        ])
+    finally:
+        jax.config.update("jax_enable_x64", False)
+    out = capsys.readouterr().out.strip().splitlines()
+    got = json.loads(out[-1])
+    for d in ("cityscapes", "IDD"):
+        assert got[d] == round(lib[d], 4)
+
+
+@pytest.mark.slow
 def test_composed_eval_parity_ftp1_f64(parity_setup):
     """Same composed parity for the NAMED-head family: an ftp1 checkpoint
     (decoder_old / decoder_new named modules, erfnet_ftp1.py:139-141) through
