@@ -273,6 +273,86 @@ def test_composed_eval_parity_ftp1_f64(parity_setup):
 
 
 @pytest.mark.slow
+def test_composed_eval_parity_multitask_f64(parity_setup):
+    """Composed parity for the MULTITASK family: erfnet_multi_task.Net is a
+    shared plain encoder + per-task decoder ModuleList (erfnet_multi_task.py:
+    146-159, forward(input, task) indexes decoder[task]) — the joint-training
+    baseline's eval path, through `evaluate_checkpoint(kind='multi_task')`
+    with checkpoint-inferred class counts."""
+    s = parity_setup
+    ref_mt = load_reference_module("models/erfnet_multi_task.py")
+    torch.manual_seed(17)
+    model = ref_mt.Net([NUMC_CS, NUMC_IDD], nb_tasks=2, cur_task=1)
+    model.eval()
+    ckpt = os.path.join(os.path.dirname(s["ckpt"]), "multitask_best.pth.tar")
+    torch.save(
+        {"epoch": 1, "arch": "Net",
+         "state_dict": {"module." + k: v for k, v in model.state_dict().items()}},
+        ckpt,
+    )
+    model_f64 = model.double()
+    ref = {
+        "cityscapes": _reference_eval(model_f64, s["ds_cs"], 0, NUMC_CS,
+                                      s["ref_iou"], torch.float64),
+        "IDD": _reference_eval(model_f64, s["ds_idd"], 1, NUMC_IDD,
+                               s["ref_iou"], torch.float64),
+    }
+    from mdilss_tpu.evaluate import evaluate_checkpoint
+
+    try:
+        results, per_class = evaluate_checkpoint(
+            ckpt, kind="multi_task", datasets=["cityscapes", "IDD"],
+            data_roots={"cityscapes": s["cs_root"], "IDD": s["idd_root"]},
+            height=HEIGHT, width=WIDTH, compute_dtype="float64",
+            return_per_class=True,
+        )
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+    for d in ("cityscapes", "IDD"):
+        ref_miou, ref_pc = ref[d]
+        np.testing.assert_array_equal(per_class[d], ref_pc, err_msg=d)
+        assert abs(results[d] - ref_miou) < 1e-12, (d, results[d], ref_miou)
+
+
+@pytest.mark.slow
+def test_composed_eval_parity_erfnet_f64(parity_setup):
+    """Composed parity for the SINGLE-TASK family: plain erfnet.Net (one
+    encoder + one decoder, task-less forward — erfnet.py:140-151), the
+    per-domain fine-tuning baseline, through kind='erfnet' whose apply_fn
+    drops the task argument (evaluate.py)."""
+    s = parity_setup
+    ref_erf = load_reference_module("models/erfnet.py")
+    torch.manual_seed(19)
+    model = ref_erf.Net(NUMC_CS)
+    model.eval()
+    ckpt = os.path.join(os.path.dirname(s["ckpt"]), "erfnet_best.pth.tar")
+    torch.save(
+        {"epoch": 1, "arch": "Net",
+         "state_dict": {"module." + k: v for k, v in model.state_dict().items()}},
+        ckpt,
+    )
+    model_f64 = model.double()
+    ref_miou, ref_pc = _reference_eval(
+        model_f64, s["ds_cs"], 0, NUMC_CS, s["ref_iou"], torch.float64,
+        fwd=lambda m, images, task: m(images))
+    from mdilss_tpu.evaluate import evaluate_checkpoint
+
+    try:
+        results, per_class = evaluate_checkpoint(
+            ckpt, kind="erfnet", datasets=["cityscapes"],
+            data_roots={"cityscapes": s["cs_root"]},
+            height=HEIGHT, width=WIDTH, compute_dtype="float64",
+            return_per_class=True,
+        )
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+    np.testing.assert_array_equal(per_class["cityscapes"], ref_pc)
+    assert abs(results["cityscapes"] - ref_miou) < 1e-12
+
+
+@pytest.mark.slow
 def test_composed_eval_parity_f32_cli(parity_setup, capsys):
     """The default-f32 CLI (`python -m mdilss_tpu eval`) against the torch
     f32 stack: identical up to an argmax-tie pixel budget.
