@@ -272,6 +272,83 @@ def test_composed_eval_parity_ftp1_f64(parity_setup):
         assert abs(results[d] - ref_miou) < 1e-12, (d, results[d], ref_miou)
 
 
+def _write_bdd_tree(root: str, *, n: int, seed: int) -> None:
+    """BDD100k convention: <root>/images/val + <root>/labels/val, FLAT
+    listdir (no city subdirs), labels end `_train_id.png`
+    (dataset_custom.py:167-184 vs data/sources.py bdd100k_index)."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "images/val"), exist_ok=True)
+    os.makedirs(os.path.join(root, "labels/val"), exist_ok=True)
+    for i in range(n):
+        img = rng.integers(0, 256, (NATIVE_H, NATIVE_W, 3), dtype=np.uint8)
+        lbl = rng.integers(0, NUMC_CS - 1, (NATIVE_H, NATIVE_W)).astype(np.uint8)
+        lbl[rng.random((NATIVE_H, NATIVE_W)) < 0.07] = 255
+        Image.fromarray(img).save(os.path.join(root, "images/val", f"b{i:03d}.png"))
+        _save_label(lbl, os.path.join(root, "labels/val", f"b{i:03d}_train_id.png"))
+
+
+@pytest.mark.slow
+def test_composed_eval_parity_ftp2_f64(parity_setup, tmp_path):
+    """Composed parity for the 3-head ftp2 family (CS -> BDD -> IDD
+    fine-tuning baseline): decoder_old1 / decoder_old2 / decoder_new NAMED
+    modules selected by forward flags (erfnet_ftp2.py:135-152), through
+    kind='ftp2' with checkpoint-inferred [20, 20, 27] — also the only
+    composed test of the BDD flat-listdir convention."""
+    s = parity_setup
+    bdd_root = str(tmp_path / "bdd")
+    _write_bdd_tree(bdd_root, n=3, seed=33)
+    dc = load_reference_module("dataset_custom.py")
+    tr = load_reference_module("transform.py")
+    input_transform = Compose([Resize([HEIGHT, WIDTH], Image.BILINEAR),
+                               ToTensor()])
+    tt_bdd = Compose([Resize([HEIGHT, WIDTH], Image.NEAREST), tr.ToLabel(),
+                      tr.Relabel(255, NUMC_CS - 1)])
+    ds_bdd = dc.BDD(bdd_root, input_transform, tt_bdd, "val")
+    assert len(ds_bdd) == 3
+
+    ref_ft2 = load_reference_module("models/erfnet_ftp2.py")
+    torch.manual_seed(23)
+    model = ref_ft2.Net(NUMC_CS, NUMC_CS, NUMC_IDD)
+    model.eval()
+    ckpt = os.path.join(os.path.dirname(s["ckpt"]), "ftp2_best.pth.tar")
+    torch.save(
+        {"epoch": 1, "arch": "Net",
+         "state_dict": {"module." + k: v for k, v in model.state_dict().items()}},
+        ckpt,
+    )
+
+    def ft2_fwd(m, images, task):
+        return m(images, decoder_old1=(task == 0), decoder_old2=(task == 1),
+                 decoder_new=(task == 2))
+
+    model_f64 = model.double()
+    ref = {
+        "cityscapes": _reference_eval(model_f64, s["ds_cs"], 0, NUMC_CS,
+                                      s["ref_iou"], torch.float64, fwd=ft2_fwd),
+        "BDD": _reference_eval(model_f64, ds_bdd, 1, NUMC_CS,
+                               s["ref_iou"], torch.float64, fwd=ft2_fwd),
+        "IDD": _reference_eval(model_f64, s["ds_idd"], 2, NUMC_IDD,
+                               s["ref_iou"], torch.float64, fwd=ft2_fwd),
+    }
+    from mdilss_tpu.evaluate import evaluate_checkpoint
+
+    try:
+        results, per_class = evaluate_checkpoint(
+            ckpt, kind="ftp2", datasets=["cityscapes", "BDD", "IDD"],
+            data_roots={"cityscapes": s["cs_root"], "BDD": bdd_root,
+                        "IDD": s["idd_root"]},
+            height=HEIGHT, width=WIDTH, compute_dtype="float64",
+            return_per_class=True,
+        )
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+    for d in ("cityscapes", "BDD", "IDD"):
+        ref_miou, ref_pc = ref[d]
+        np.testing.assert_array_equal(per_class[d], ref_pc, err_msg=d)
+        assert abs(results[d] - ref_miou) < 1e-12, (d, results[d], ref_miou)
+
+
 @pytest.mark.slow
 def test_composed_eval_parity_multitask_f64(parity_setup):
     """Composed parity for the MULTITASK family: erfnet_multi_task.Net is a
