@@ -589,6 +589,83 @@ def test_ft_trajectory_matches_torch_oracle(rng, torch_single_thread):
     assert n_frozen > 10 and n_trained > 100
 
 
+@pytest.mark.slow
+def test_step1_trajectory_matches_torch_oracle(ref_mod, rng, torch_single_thread):
+    """Step-1 trajectory parity: the RAP net trained from scratch on the
+    first domain — ONE Adam group over all parameters at 5e-4 with
+    weight_decay 1e-4 and the poly LambdaLR (train_RAPFT_step1.py:260-265),
+    plain weighted CE (CrossEntropyLoss2d, train_RAPFT_step1.py:89-94,303).
+    Completes the oracle set: every protocol with a reference trainer
+    (step1/step2/step3/multitask/ft) now has a trajectory oracle."""
+    C = 6
+    model_t = ref_mod.Net([C], nb_tasks=1, cur_task=0)
+    model_t.train()
+    _disable_dropout(model_t)
+
+    params, bn = convert_state_dict(_np_state_dict(model_t), kind="rap", nb_tasks=1)
+
+    w = rng.random(C, dtype=np.float32) * 5 + 0.5
+    w[C - 1] = 0.0
+
+    topt = torch.optim.Adam(model_t.parameters(), 5e-4, (0.9, 0.999),
+                            eps=1e-8, weight_decay=1e-4)
+    sched = torch.optim.lr_scheduler.LambdaLR(topt, lambda e: (1 - (e - 1) / 150) ** 0.9)
+    sched.step(1)
+
+    batches = [
+        (rng.standard_normal((2, 32, 64, 3), dtype=np.float32),
+         rng.integers(0, C, size=(2, 32, 64)))
+        for _ in range(3)
+    ]
+    torch_losses = []
+    tw = torch.from_numpy(w.copy())
+    for x, y in batches:
+        tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+        out = model_t(tx, 0)
+        loss = torch.nn.CrossEntropyLoss(tw)(out, torch.from_numpy(y))
+        topt.zero_grad(set_to_none=False)
+        loss.backward()
+        topt.step()
+        torch_losses.append(loss.item())
+
+    # step1's single param group == every leaf of the rap tree at 5e-4
+    # (train/loop.py builds exactly this: rap_lr_tree with shared==ds lr)
+    lr_tree = masks.rap_lr_tree(params, current_task=0, shared_lr=5e-4, ds_lr=5e-4)
+    step = steps.make_ce_step(
+        erfnet_rap.apply, task=0, class_weight=jnp.asarray(w),
+        lr_tree=lr_tree, num_epochs=150,
+    )
+    ts = steps.init_train_state(params, bn)
+    our_losses = []
+    for bi, (x, y) in enumerate(batches):
+        ts, m = step(ts, jnp.asarray(x), jnp.asarray(y), None, None, 1)
+        our_losses.append(float(m["loss"]))
+        if bi == 0:
+            # batch 1 reads back the whole tree: EVERY leaf at 5e-4
+            _assert_first_turn_matches_lr_tree(params, ts.params, lr_tree)
+
+    # batch 1 tight (wiring); later batches carry Adam first-step sign noise
+    np.testing.assert_allclose(our_losses[0], torch_losses[0], rtol=1e-4)
+    np.testing.assert_allclose(our_losses[1], torch_losses[1], rtol=5e-3)
+    np.testing.assert_allclose(our_losses[2], torch_losses[2], rtol=2e-2)
+
+    ref_final = _np_state_dict(model_t)
+    got_final = export_state_dict(ts.params, ts.bn, kind="rap")
+    n_checked = 0
+    for k, v in ref_final.items():
+        if "num_batches_tracked" in k:
+            continue
+        if "running" in k:
+            # BN running stats amplify +-lr sign noise through depth
+            np.testing.assert_allclose(got_final[k], v, rtol=5e-2, atol=3e-2,
+                                       err_msg=k)
+        else:
+            # 3 Adam steps of worst-case sign noise: 3 * 2 * 5e-4 + margin
+            np.testing.assert_allclose(got_final[k], v, atol=4e-3, err_msg=k)
+        n_checked += 1
+    assert n_checked > 200
+
+
 def test_distill_step_freeze_semantics(ref_mod):
     """Old-task DS slices and old decoders never move; shared + current move."""
     key = jax.random.key(0)
