@@ -430,6 +430,76 @@ def test_composed_eval_parity_erfnet_f64(parity_setup):
 
 
 @pytest.mark.slow
+def test_composed_eval_parity_voc12_f64(parity_setup, tmp_path):
+    """Composed parity for the VOC12 convention — the last dataset_custom
+    class (dataset_custom.py:43-73): FLAT <root>/images/*.jpg +
+    <root>/labels/*.png keyed off the LABEL basenames, JPEG image decode,
+    21 classes — over a plain erfnet head. Locks the jpeg decode path and
+    the label-keyed pairing (data/sources.py voc12_index) end to end."""
+    s = parity_setup
+    NUMC_VOC = 21
+    root = str(tmp_path / "voc")
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    os.makedirs(os.path.join(root, "labels"), exist_ok=True)
+    rng = np.random.default_rng(44)
+    for i in range(3):
+        img = rng.integers(0, 256, (NATIVE_H, NATIVE_W, 3), dtype=np.uint8)
+        lbl = rng.integers(0, NUMC_VOC - 1, (NATIVE_H, NATIVE_W)).astype(np.uint8)
+        lbl[rng.random((NATIVE_H, NATIVE_W)) < 0.07] = 255
+        Image.fromarray(img).save(os.path.join(root, "images", f"v{i:03d}.jpg"))
+        _save_label(lbl, os.path.join(root, "labels", f"v{i:03d}.png"))
+
+    dc = load_reference_module("dataset_custom.py")
+    tr = load_reference_module("transform.py")
+    input_transform = Compose([Resize([HEIGHT, WIDTH], Image.BILINEAR),
+                               ToTensor()])
+    tt = Compose([Resize([HEIGHT, WIDTH], Image.NEAREST), tr.ToLabel(),
+                  tr.Relabel(255, NUMC_VOC - 1)])
+    ds_voc = dc.VOC12(root, input_transform, tt)
+    assert len(ds_voc) == 3
+
+    ref_erf = load_reference_module("models/erfnet.py")
+    torch.manual_seed(29)
+    model = ref_erf.Net(NUMC_VOC)
+    model.eval()
+    ckpt = os.path.join(os.path.dirname(s["ckpt"]), "voc_best.pth.tar")
+    torch.save(
+        {"epoch": 1, "arch": "Net",
+         "state_dict": {"module." + k: v for k, v in model.state_dict().items()}},
+        ckpt,
+    )
+
+    # VOC12's loader returns (image, label) only — adapt to _reference_eval's
+    # 4-tuple loop with a thin wrapper dataset
+    class WithNames(torch.utils.data.Dataset):
+        def __len__(self):
+            return len(ds_voc)
+
+        def __getitem__(self, i):
+            img, lbl = ds_voc[i]
+            return img, lbl, "", ""
+
+    model_f64 = model.double()
+    ref_miou, ref_pc = _reference_eval(
+        model_f64, WithNames(), 0, NUMC_VOC, s["ref_iou"], torch.float64,
+        fwd=lambda m, images, task: m(images))
+    from mdilss_tpu.evaluate import evaluate_checkpoint
+
+    try:
+        results, per_class = evaluate_checkpoint(
+            ckpt, kind="erfnet", datasets=["VOC12"],
+            data_roots={"VOC12": root},
+            height=HEIGHT, width=WIDTH, compute_dtype="float64",
+            return_per_class=True,
+        )
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+    np.testing.assert_array_equal(per_class["VOC12"], ref_pc)
+    assert abs(results["VOC12"] - ref_miou) < 1e-12
+
+
+@pytest.mark.slow
 def test_composed_eval_parity_f32_cli(parity_setup, capsys):
     """The default-f32 CLI (`python -m mdilss_tpu eval`) against the torch
     f32 stack: identical up to an argmax-tie pixel budget.
