@@ -93,6 +93,14 @@ def main(args) -> None:
     import jax
     import jax.numpy as jnp
 
+    # persistent executable cache: the trainer-tax arm compiles the pjit'd
+    # production step twice (two epoch sizes) and a cold through-tunnel
+    # compile costs minutes; cache hits make reruns compile-free. Keyed by
+    # HLO hash — stale entries impossible.
+    os.makedirs("/tmp/mdilss_xla_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mdilss_xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from mdilss_tpu.data import CLASS_WEIGHTS
     from mdilss_tpu.data.transforms import augment_batch
     from mdilss_tpu.models import erfnet_rap
@@ -239,8 +247,10 @@ def main(args) -> None:
     n3 = max(6, n_steps // 2)
     # the hybrid arm needs MORE steps than the others: its per-step time
     # carries host-decode thread jitter, and at n3=12 the round-3 noise_pct
-    # hit 68.8% — too noisy to headline a wall-clock projection from
-    n_hyb = max(30, n_steps)
+    # hit 68.8% — too noisy to headline a wall-clock projection from.
+    # 30 steps brought it to 24.5% (r4 builder run); 60 averages each pass
+    # over more tunnel-drift windows for ~11 s/pass extra.
+    n_hyb = max(60, n_steps)
 
     def arm_step3_cached(ts3_box):
         t0 = time.perf_counter()
@@ -306,15 +316,19 @@ def main(args) -> None:
     # users actually run, not this file's hand-assembled loop. Run the
     # production Trainer (train/loop.py: real config, build_trainer wiring,
     # device cache, per-batch rng replicate / mask gen / shard_batch / metric
-    # accumulation) at the bench config and compare steady-state epochs.
-    def measure_trainer_tax():
+    # accumulation) at the bench config, at TWO epoch sizes, and split
+    # steady-state epoch time into per-STEP time (the slope — what scales
+    # with training) and per-EPOCH fixed cost (the intercept: metric-drain
+    # round trips, cache reshuffle, epoch re-keying — amortized over ~1166
+    # steps/epoch in a real BDD run, vs the tiny arm sizes here which would
+    # otherwise masquerade as per-step tax).
+    def measure_trainer_epoch(steps_per_epoch: int) -> float:
         import shutil
         import tempfile
 
         from mdilss_tpu import config as C
         from mdilss_tpu.train.protocols import build_trainer
 
-        steps_per_epoch = 20
         savedir = tempfile.mkdtemp(prefix="mdilss_trainer_tax_")
         cfg = C.step2(
             savedir=savedir, synthetic=True,
@@ -333,12 +347,24 @@ def main(args) -> None:
             stats = tr.train_epoch(epoch)  # includes the end-of-epoch drain sync
             epoch_secs.append(stats["epoch_seconds"])
         shutil.rmtree(savedir, ignore_errors=True)
-        steady = _median(epoch_secs[1:])
-        t_ips = cfg.synthetic_size / steady
-        return t_ips, [round(s, 2) for s in epoch_secs]
+        return _median(epoch_secs[1:])
 
-    trainer_ips, trainer_epoch_secs = measure_trainer_tax()
-    trainer_tax_pct = round(100.0 * (1.0 - trainer_ips / train_ips), 1)
+    n_lo, n_hi = 20, 60
+    # drift robustness: the tunnel drifts in multi-second windows and drift
+    # only ever ADDS time, so measure each size twice interleaved
+    # (lo,hi,lo,hi) and slope through the per-size minima — one slow window
+    # can then inflate at most one of the four samples without biasing both
+    # endpoints the same way.
+    tax_samples = {n_lo: [], n_hi: []}
+    for _ in range(2):
+        for n in (n_lo, n_hi):
+            tax_samples[n].append(measure_trainer_epoch(n))
+    t_lo, t_hi = min(tax_samples[n_lo]), min(tax_samples[n_hi])
+    trainer_step_ms = 1000.0 * (t_hi - t_lo) / (n_hi - n_lo)
+    trainer_epoch_fixed_ms = max(0.0, 1000.0 * t_lo - n_lo * trainer_step_ms)
+    trainer_ips = 1000.0 * batch / trainer_step_ms
+    bench_step_ms = 1000.0 * batch / train_ips
+    trainer_tax_pct = round(100.0 * (trainer_step_ms / bench_step_ms - 1.0), 1)
 
     step3_mesh_hours = 150 * IDD_TRAIN_IMAGES / med["step3_cached"] / 3600
     step3_single_hours = 150 * IDD_TRAIN_IMAGES / med["step3_hybrid"] / 3600
@@ -398,20 +424,27 @@ def main(args) -> None:
     result = {
         "metric": "erfnet_rap_step2_train_images_per_sec_per_chip",
         "value": round(train_ips, 2),
-        "unit": "img/s/chip (512x1024, bs=6, CE+KLD distillation, device-cached "
-                "dataset + on-device gather/augment; median of "
-                f"{n_passes} interleaved passes)",
+        "unit": f"img/s/chip ({height}x{width}, bs={batch}, CE+KLD "
+                "distillation, device-cached dataset + on-device "
+                f"gather/augment; median of {n_passes} interleaved passes)",
         "vs_baseline": round(train_ips / BASELINE_IMG_PER_SEC_PER_GPU, 2),
         "extras": {
             "host_streamed_train_images_per_sec": round(med["train_streamed"], 2),
             "trainer_images_per_sec": round(trainer_ips, 2),
             "trainer_tax_pct": trainer_tax_pct,
-            "trainer_epoch_seconds": trainer_epoch_secs,
+            "trainer_step_ms": round(trainer_step_ms, 1),
+            "trainer_epoch_fixed_ms": round(trainer_epoch_fixed_ms, 1),
+            "trainer_epoch_samples_s": {
+                str(n): [round(s, 3) for s in v]
+                for n, v in tax_samples.items()},
             "trainer_tax_note": "production Trainer (train/loop.py via "
                                 "build_trainer, step2 synthetic + device "
-                                "cache, bench config) steady-state epochs 2-3 "
-                                "vs this file's train_cached arm; epoch 1 "
-                                "pays compile + cache build and is excluded",
+                                "cache, bench config): per-step time is the "
+                                "slope of steady-state epoch time over two "
+                                "epoch sizes (20/60 steps); the intercept is "
+                                "the per-epoch fixed cost (metric drain, "
+                                "cache reshuffle) that amortizes over ~1166 "
+                                "steps/epoch in a real BDD run",
             "infer_images_per_sec_per_chip": round(infer_ips, 2),
             "infer_path": "xla (pallas-fused path ties within noise: "
                           "interleaved medians 1884 vs 1831 img/s)",
