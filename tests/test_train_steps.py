@@ -590,6 +590,116 @@ def test_ft_trajectory_matches_torch_oracle(rng, torch_single_thread):
 
 
 @pytest.mark.slow
+def test_fe_trajectory_matches_torch_oracle(rng, torch_single_thread):
+    """FE (feature-extraction) trajectory parity: ONLY decoder_new is in the
+    optimizer (main_ftp1_enc_newbn.py:240-242, the `--finetune false` branch);
+    decoder_old is requires_grad=False; the encoder's PARAMS never move (not
+    in the optimizer — no Adam step, no weight decay) but its BN RUNNING
+    STATS still update because the model forwards in train mode ("feature
+    extraction but BN of shared encoder gets updated", :242). Our lr_tree
+    encodes this as encoder_lr=0 (train/loop.py:283): lr=0 zeroes the update
+    AND the wd term (optim.py:103-104) while BN stats flow through apply_fn
+    regardless.
+
+    Because the encoder is frozen, its activations are IDENTICAL across
+    frameworks every batch (modulo fp rounding), so — unlike the ft oracle —
+    encoder BN running stats must match tightly AND must have moved."""
+    C_OLD, C_NEW = 6, 8
+    ref_ft = load_reference_module("models/erfnet_ftp1.py")
+    model_t = ref_ft.Net(C_OLD, C_NEW)
+    model_t.train()
+    _disable_dropout(model_t)
+    for n, p in model_t.named_parameters():
+        if "decoder_old" in n:
+            p.requires_grad = False
+
+    from mdilss_tpu.models import erfnet_multihead
+
+    params, bn = convert_state_dict(_np_state_dict(model_t), kind="ftp1", nb_tasks=2)
+
+    w = rng.random(C_NEW, dtype=np.float32) * 5 + 0.5
+    w[C_NEW - 1] = 0.0
+
+    topt = torch.optim.Adam(
+        model_t.decoder_new.parameters(),
+        5e-4, (0.9, 0.999), eps=1e-8, weight_decay=1e-4,
+    )
+    sched = torch.optim.lr_scheduler.LambdaLR(topt, lambda e: (1 - (e - 1) / 150) ** 0.9)
+    sched.step(1)
+
+    batches = [
+        (rng.standard_normal((2, 32, 64, 3), dtype=np.float32),
+         rng.integers(0, C_NEW, size=(2, 32, 64)))
+        for _ in range(3)
+    ]
+    torch_losses = []
+    tw = torch.from_numpy(w.copy())
+    for x, y in batches:
+        tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+        out = model_t(tx)  # decoder_new path (erfnet_ftp1.py:143-149)
+        loss = torch.nn.CrossEntropyLoss(tw)(out, torch.from_numpy(y))
+        topt.zero_grad(set_to_none=False)
+        loss.backward()
+        topt.step()
+        torch_losses.append(loss.item())
+
+    lr_tree = masks.multihead_lr_tree(params, encoder_lr=0.0,
+                                      decoder_lrs=[0.0, 5e-4])
+    step = steps.make_ce_step(
+        erfnet_multihead.apply, task=1, class_weight=jnp.asarray(w),
+        lr_tree=lr_tree, num_epochs=150,
+    )
+    ts = steps.init_train_state(params, bn)
+    our_losses = []
+    for bi, (x, y) in enumerate(batches):
+        ts, m = step(ts, jnp.asarray(x), jnp.asarray(y), None, None, 1)
+        our_losses.append(float(m["loss"]))
+        if bi == 0:
+            # batch 1 reads back the lr tree: ONLY the new head at 5e-4,
+            # encoder and old head exactly zero movement
+            _assert_first_turn_matches_lr_tree(params, ts.params, lr_tree)
+
+    # frozen encoder -> the new head sees the same features every batch on
+    # both sides, so losses track tighter than the ft oracle's
+    np.testing.assert_allclose(our_losses[0], torch_losses[0], rtol=1e-4)
+    np.testing.assert_allclose(our_losses[1], torch_losses[1], rtol=2e-3)
+    np.testing.assert_allclose(our_losses[2], torch_losses[2], rtol=5e-3)
+
+    ref_final = _np_state_dict(model_t)
+    got_final = export_state_dict(ts.params, ts.bn, kind="ftp1")
+    initial = export_state_dict(params, bn, kind="ftp1")
+    n_frozen = n_trained = n_bn_moved = 0
+    for k, v in ref_final.items():
+        if "num_batches_tracked" in k:
+            continue
+        if "running" in k:
+            if "encoder" in k:
+                # identical activations -> tight stats parity; and they MUST
+                # have moved (the :242 semantics a freeze-mask bug would kill)
+                np.testing.assert_allclose(got_final[k], v, rtol=2e-3,
+                                           atol=1e-5, err_msg=k)
+                if not np.array_equal(np.asarray(got_final[k]), initial[k]):
+                    n_bn_moved += 1
+            else:
+                # decoder BN stats: the new head's params move between
+                # batches (Adam sign noise), so its activation stats drift
+                # like the ft oracle's — same loose tolerance; the old
+                # head's stats stay at init and match trivially
+                np.testing.assert_allclose(got_final[k], v, rtol=5e-2,
+                                           atol=3e-2, err_msg=k)
+        elif "decoder_new" in k:
+            # 3 Adam steps of worst-case sign noise: 3 * 2 * 5e-4 + margin
+            np.testing.assert_allclose(got_final[k], v, atol=4e-3, err_msg=k)
+            n_trained += 1
+        else:
+            # encoder AND old head: bit-frozen on both sides
+            np.testing.assert_array_equal(got_final[k], initial[k], err_msg=k)
+            np.testing.assert_array_equal(v, initial[k], err_msg=k)
+            n_frozen += 1
+    assert n_frozen > 100 and n_trained > 10 and n_bn_moved > 20
+
+
+@pytest.mark.slow
 def test_step1_trajectory_matches_torch_oracle(ref_mod, rng, torch_single_thread):
     """Step-1 trajectory parity: the RAP net trained from scratch on the
     first domain — ONE Adam group over all parameters at 5e-4 with
