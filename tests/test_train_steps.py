@@ -705,8 +705,8 @@ def test_step1_trajectory_matches_torch_oracle(ref_mod, rng, torch_single_thread
     first domain — ONE Adam group over all parameters at 5e-4 with
     weight_decay 1e-4 and the poly LambdaLR (train_RAPFT_step1.py:260-265),
     plain weighted CE (CrossEntropyLoss2d, train_RAPFT_step1.py:89-94,303).
-    Completes the oracle set: every protocol with a reference trainer
-    (step1/step2/step3/multitask/ft) now has a trajectory oracle."""
+    With this, every protocol with a reference trainer
+    (step1/step2/step3/multitask/ft/fe) has a trajectory oracle."""
     C = 6
     model_t = ref_mod.Net([C], nb_tasks=1, cur_task=0)
     model_t.train()
