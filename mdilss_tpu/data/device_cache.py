@@ -120,7 +120,9 @@ class DeviceCache:
         di = jnp.asarray(idx, jnp.int32)
         if self._gather is not None:
             return self._gather(self.images, self.labels, di)
-        return jnp.take(self.images, di, axis=0), jnp.take(self.labels, di, axis=0)
+        # single-device: one jitted program (module-level _gather), not two
+        # eager jnp.takes — every eager op is its own device launch
+        return _gather(self.images, self.labels, di)
 
 
 def _lazy_jit(fn):

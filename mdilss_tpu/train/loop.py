@@ -343,10 +343,6 @@ class Trainer:
         self.start_epoch = epoch + 1
         print(f"resumed from epoch {epoch} (best_acc {self.best_acc:.4f})")
 
-    def _next_rng(self):
-        self.rng, out = jax.random.split(self.rng)
-        return out
-
     # ------------------------------------------------------------------
     def train_epoch(self, epoch: int) -> dict:
         cfg = self.cfg
@@ -412,21 +408,31 @@ class Trainer:
 
         self._tracer.tick()
         nc = self.cfg.num_classes[task]
-        # mesh-backed caches yield batch-sharded arrays; the rng must live on
-        # the same device set or jit rejects the mixed placement
-        rng = replicate(self.mesh, self._next_rng())
+        # ONE eager split per batch: every eager jax op is its own tiny
+        # device launch over the (fixed-cost-per-execution) tunnel — two
+        # sequential split() calls measured ~1.7 ms/batch host + two extra
+        # launches vs ~0.1 ms for one split(key, 3)
+        self.rng, k_aug, k_step = jax.random.split(self.rng, 3)
+        single = self.mesh.devices.size == 1
+        if not single:
+            # mesh-backed caches yield batch-sharded arrays; the rng must
+            # live on the same device set or jit rejects the mixed placement
+            k_aug = replicate(self.mesh, k_aug)
         aug_dtype = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
-        x, y = augment_batch(jnp.asarray(imgs), jnp.asarray(lbls), rng,
+        x, y = augment_batch(jnp.asarray(imgs), jnp.asarray(lbls), k_aug,
                              num_classes=nc, out_dtype=aug_dtype)
-        x, y = shard_batch(self.mesh, x, y)
+        if not single:
+            # on one device augment's outputs already sit where the step
+            # wants them; the explicit device_puts would be pure dispatch tax
+            x, y = shard_batch(self.mesh, x, y)
         step = self.train_steps[dataset]
         if self.teacher is not None and self.cfg.protocol in ("step2", "step3"):
             n_fwd = 1 + self.cfg.current_task
             masks = [make_dropout_masks(self._np_rng, x.shape[0]) for _ in range(n_fwd)]
-            self.ts, m = step(self.ts, self.teacher, x, y, masks, self._next_rng(), epoch)
+            self.ts, m = step(self.ts, self.teacher, x, y, masks, k_step, epoch)
         else:
             masks = make_dropout_masks(self._np_rng, x.shape[0])
-            self.ts, m = step(self.ts, x, y, masks, self._next_rng(), epoch)
+            self.ts, m = step(self.ts, x, y, masks, k_step, epoch)
         # keep device scalars; fetching here (float()) would sync the host
         # to the device EVERY batch and serialize dispatch through the
         # (high-latency) device link — epoch end converts them in one drain
@@ -435,11 +441,18 @@ class Trainer:
                 losses[k].append(m[k])
         if self._train_evs is not None and "cm" in m:
             self._train_cms[dataset].append(m["cm"])
-        # bounded pipeline: sync every 16 steps so in-flight input batches
-        # (gather/augment outputs awaiting their step) can't pile up in HBM
+        # bounded pipeline: every 16 steps, fetch the loss saved at the
+        # PREVIOUS sync point. That step finished long ago, so the wait is
+        # one link RTT while 16 fresh steps stay queued — in-flight inputs
+        # are bounded at <=32 batches with no device bubble. Fetching the
+        # CURRENT loss instead drains the whole queue and idles the chip
+        # for the RTT: measured +2.2 ms/step (111.2 vs 109.0, A/B on chip).
         self._step_count = getattr(self, "_step_count", 0) + 1
         if self._step_count % 16 == 0 and "loss" in m:
-            float(m["loss"])
+            lagged = getattr(self, "_sync_loss", None)
+            if lagged is not None:
+                float(lagged)
+            self._sync_loss = m["loss"]
 
     def evaluate(self, dataset: str, epoch: int) -> tuple[float, float]:
         """Returns (avg val loss, val mIoU) for one domain."""
@@ -454,16 +467,27 @@ class Trainer:
         cache = self._cache_for(dataset, "val")
         batches = (cache.epoch_batches(0, shuffle=False) if cache is not None
                    else device_prefetch(self.val_loaders[dataset]))
+        single = self.mesh.devices.size == 1
+        cms = []
         for imgs, lbls, valid in batches:
             x, y = prepare_batch(jnp.asarray(imgs), jnp.asarray(lbls), num_classes=nc)
             # padded samples -> all-ignore labels: contribute to neither CE nor IoU
             y = jnp.where(jnp.asarray(valid)[:, None, None], y, nc - 1)
-            x, y = shard_batch(self.mesh, x, y)
+            if not single:
+                x, y = shard_batch(self.mesh, x, y)
             loss, cm = estep(self.ts.params, self.ts.bn, x, y)
-            losses.append(float(loss))
-            ev.add_confusion(cm)
+            # keep loss/cm as device scalars; a float()/np per batch would
+            # round-trip the link every batch (same discipline as _one_batch)
+            losses.append(loss)
+            cms.append(cm)
+            if len(cms) % 16 == 0 and len(cms) >= 32:
+                float(losses[-17])  # lagged sync: bound in-flight batches, no bubble
+        if not cms:
+            return 0.0, 0.0
+        # one device-side reduction + one fetch each at epoch end
+        ev.add_confusion(sum(cms[1:], start=cms[0]))
         miou, _ = ev.get_iou()
-        return float(np.mean(losses)), miou
+        return float(jnp.mean(jnp.stack(losses))), miou
 
     # ------------------------------------------------------------------
     def fit(self, stop_after: int | None = None) -> dict:
