@@ -244,17 +244,24 @@ def _export_conv(out: dict, prefix: str, p: dict, transposed: bool):
 
 
 def _export_bn(out: dict, prefix: str, p: dict, s: BNState, tasks: list[int] | None):
+    # num_batches_tracked is part of torch BatchNorm2d's state dict, so a
+    # strict=True load of the exported file through the reference nn.Module
+    # requires it; its VALUE is unused at the reference's default momentum
+    # (torch only reads it when momentum=None), so 0 is faithful enough.
+    nbt = np.asarray(0, np.int64)
     if tasks is None:
         out[f"{prefix}.weight"] = np.asarray(p["scale"])
         out[f"{prefix}.bias"] = np.asarray(p["bias"])
         out[f"{prefix}.running_mean"] = np.asarray(s.mean)
         out[f"{prefix}.running_var"] = np.asarray(s.var)
+        out[f"{prefix}.num_batches_tracked"] = nbt
     else:
         for t in tasks:
             out[f"{prefix}.{t}.weight"] = np.asarray(p["scale"][t])
             out[f"{prefix}.{t}.bias"] = np.asarray(p["bias"][t])
             out[f"{prefix}.{t}.running_mean"] = np.asarray(s.mean[t])
             out[f"{prefix}.{t}.running_var"] = np.asarray(s.var[t])
+            out[f"{prefix}.{t}.num_batches_tracked"] = nbt
 
 
 def _index_tree(tree, idx):

@@ -121,7 +121,12 @@ def main(argv=None):
     _add_common(ps)
 
     pf = sub.add_parser("ft", help="fine-tuning baselines (2 or 3 heads)")
-    pf.add_argument("--heads", type=int, choices=(2, 3), default=2)
+    pf.add_argument("--heads", type=int, choices=(2, 3), default=None)
+    pf.add_argument("--order", choices=tuple(sorted(C.FT_ORDERS)), default=None,
+                    help="domain chain (last = the domain being fine-tuned; "
+                         "the reference's --dataset-old/--dataset-new, "
+                         "main_ftp1_enc_newbn.py:463-499). Defaults to CS_BDD "
+                         "(2 heads) / CS_BDD_IDD (3 heads)")
     pf.add_argument("--feature-extraction", action="store_true",
                     help="train only the new head (FE) instead of encoder+head (FT)")
     _add_common(pf)
@@ -229,6 +234,30 @@ def main(argv=None):
     px.add_argument("--dtype", choices=("bfloat16", "float32"), default="bfloat16")
     px.add_argument("--platforms", nargs="+", default=["cpu", "tpu"])
 
+    py = sub.add_parser(
+        "parity-check",
+        help="evaluate ALL recorded reference settings (expected_miou.json) "
+             "from a checkpoint directory and emit one pass/fail JSON report "
+             "(the Evaluation notebook's cells 8-22 as a single command)",
+    )
+    py.add_argument("ckpt_root", help="directory holding the released/exported "
+                    "checkpoints (optionally with a parity_manifest.json)")
+    py.add_argument("--data-root", action="append", default=[], metavar="NAME=PATH")
+    py.add_argument("--settings", nargs="+", default=None,
+                    help="subset of settings (default: all nine; validated "
+                         "against parity.SETTINGS)")
+    py.add_argument("--tol", type=float, default=0.5,
+                    help="per-domain tolerance in mIoU points (default 0.5)")
+    py.add_argument("--out", default=None, help="also write the report JSON here")
+    py.add_argument("--synthetic", action="store_true",
+                    help="dry-run the full command path on synthetic sources "
+                         "(every gate then fails; for testing the runbook)")
+    py.add_argument("--batch-size", type=int, default=1)
+    py.add_argument("--height", type=int, default=512)
+    py.add_argument("--width", type=int, default=1024)
+    py.add_argument("--f64", action="store_true",
+                    help="bit-stable f64 forward (slower; see eval --f64)")
+
     pc = sub.add_parser("convert", help="convert .pth.tar <-> framework params")
     pc.add_argument("src")
     pc.add_argument("dst")
@@ -326,6 +355,24 @@ def main(argv=None):
             print(report)
             if not ok:
                 raise SystemExit(1)
+        return
+
+    if args.cmd == "parity-check":
+        from .parity import run_parity_check
+
+        roots = dict(kv.split("=", 1) for kv in args.data_root)
+        report = run_parity_check(
+            args.ckpt_root, data_roots=roots, settings=args.settings,
+            tolerance_points=args.tol, synthetic=args.synthetic,
+            batch_size=args.batch_size, height=args.height, width=args.width,
+            compute_dtype="float64" if args.f64 else "float32",
+        )
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(report, f, indent=2)
+        print(json.dumps(report))
+        if not report["ok"]:
+            raise SystemExit(1)
         return
 
     if args.cmd in ("tsne", "predict"):
@@ -471,7 +518,8 @@ def main(argv=None):
         cfg = C.singletask(dataset=args.dataset,
                            pretrained_encoder=args.pretrained_encoder, **kw)
     elif args.cmd == "ft":
-        cfg = C.ft_step(n_heads=args.heads, finetune=not args.feature_extraction, **kw)
+        cfg = C.ft_step(n_heads=args.heads, order=args.order,
+                        finetune=not args.feature_extraction, **kw)
     else:
         raise SystemExit(f"unknown command {args.cmd}")
 

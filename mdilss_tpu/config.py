@@ -150,9 +150,38 @@ def multitask(**kw) -> TrainConfig:
     )
 
 
-def ft_step(n_heads: int = 2, finetune: bool = True, **kw) -> TrainConfig:
+# Domain orders for the fine-tune baselines — the reference trainers take the
+# chain as --dataset-old/--dataset-new (main_ftp1_enc_newbn.py:463-499,
+# main_FT2_flexible_new.py:452-490); the Evaluation notebook records both
+# 3-head chains (cell 21 CS|BDD->IDD, cell 22 CS|IDD->BDD).
+FT_ORDERS = {
+    "CS_BDD": ("cityscapes", "BDD"),
+    "CS_IDD": ("cityscapes", "IDD"),
+    "CS_BDD_IDD": ("cityscapes", "BDD", "IDD"),
+    "CS_IDD_BDD": ("cityscapes", "IDD", "BDD"),
+}
+
+
+def ft_step(n_heads: int | None = None, finetune: bool = True,
+            order: str | None = None, **kw) -> TrainConfig:
     """Fine-tuning baselines: 2 heads (ftp1) or 3 heads (ftp2);
-    finetune=False => feature extraction (new head only)."""
+    finetune=False => feature extraction (new head only).
+
+    `order` names the domain chain (FT_ORDERS; the reference's
+    --dataset-old/--dataset-new pairs) — the last domain is the one being
+    fine-tuned. Defaults: CS_BDD (2 heads) / CS_BDD_IDD (3 heads)."""
+    if order is not None:
+        if order not in FT_ORDERS:
+            raise ValueError(f"unknown ft order {order!r} (known: {sorted(FT_ORDERS)})")
+        if n_heads is not None and n_heads != len(FT_ORDERS[order]):
+            raise ValueError(
+                f"ft order {order!r} has {len(FT_ORDERS[order])} domains but "
+                f"n_heads={n_heads} was passed; drop one of the two"
+            )
+        kw.setdefault("datasets", FT_ORDERS[order])
+        n_heads = len(FT_ORDERS[order])
+    elif n_heads is None:
+        n_heads = 2
     model = "erfnet_ftp1" if n_heads == 2 else "erfnet_ftp2"
     kw.setdefault("datasets", ("cityscapes", "BDD", "IDD")[:n_heads])
     _derive_num_classes(kw)

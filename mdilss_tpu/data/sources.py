@@ -83,14 +83,27 @@ def bdd100k_index(root: str, subset: str = "train") -> list[tuple[str, str]]:
     return [(os.path.join(img_dir, i), os.path.join(lbl_dir, l)) for i, l in zip(imgs, labels)]
 
 
-def voc12_index(root: str, subset: str = "train") -> list[tuple[str, str]]:
+def voc12_index(root: str, subset: str = "train",
+                allow_flat: bool | None = None) -> list[tuple[str, str]]:
     # The reference's VOC12 layout is flat (<root>/images + <root>/labels,
     # dataset.py:44-51 — no split dirs). Honor <root>/<subset>/images|labels
-    # when it exists; otherwise fall back to the flat layout, warning when a
-    # non-train subset would silently alias the training set.
+    # when it exists; otherwise a non-train subset would silently alias the
+    # training set (a "val" metric that is really a train metric), so that
+    # case is an ERROR unless explicitly opted into via allow_flat=True or
+    # MDILSS_ALLOW_FLAT_VOC12=1 in the environment.
     if os.path.isdir(os.path.join(root, subset, "labels")):
         root = os.path.join(root, subset)
     elif subset != "train":
+        if allow_flat is None:
+            allow_flat = os.environ.get("MDILSS_ALLOW_FLAT_VOC12", "") not in ("", "0")
+        if not allow_flat:
+            raise ValueError(
+                f"VOC12 root {root!r} has no {subset}/ split dir (reference "
+                f"flat layout, dataset.py:44-51): '{subset}' would silently "
+                f"return the SAME image set as 'train'. Create "
+                f"<root>/{subset}/images|labels, or opt in to the aliasing "
+                f"with MDILSS_ALLOW_FLAT_VOC12=1."
+            )
         print(f"[data] VOC12 root {root!r} has no {subset}/ split dir "
               f"(reference flat layout): '{subset}' returns the SAME image "
               f"set as 'train' — val metrics are training-set metrics")

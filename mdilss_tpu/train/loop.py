@@ -37,6 +37,24 @@ from ..ckpt import orbax_io
 from ..losses import kld_corrected, kld_faithful
 
 
+def _accumulate_cms(ev: IoUEvaluator, cms: list, batch_pixels: int) -> None:
+    """Sum per-batch int32 confusion matrices into the evaluator's host int64
+    total, reducing on device in overflow-safe chunks.
+
+    confusion_matrix returns int32 (jnp.bincount; x64 is disabled, so a
+    device-side .astype(int64) would silently stay int32) — one batch holds at
+    most batch_pixels counts per cell, so a chunk of
+    (2^31-1) // batch_pixels batches can never wrap; each chunk is one
+    device-side sum + one D2H fetch, preserving the one-fetch-per-epoch
+    discipline for every realistic epoch length."""
+    if not cms:
+        return
+    chunk = max(1, (2**31 - 1) // max(1, batch_pixels))
+    for i in range(0, len(cms), chunk):
+        part = cms[i:i + chunk]
+        ev.add_confusion(sum(part[1:], start=part[0]))
+
+
 def _model_module(name: str):
     """Returns (module, task_stacked): task_stacked models take
     (rng, num_classes, nb_tasks) in init and carry task-stacked DS leaves
@@ -389,10 +407,8 @@ class Trainer:
         if self._train_evs is not None:
             ious = []
             for d, ev in self._train_evs.items():
-                if self._train_cms[d]:
-                    # sum the per-batch confusion matrices on device; one D2H
-                    ev.add_confusion(sum(self._train_cms[d][1:],
-                                         start=self._train_cms[d][0]))
+                _accumulate_cms(ev, self._train_cms[d],
+                                cfg.batch_size * cfg.height * cfg.width)
                 if np.sum(ev._cm) == 0:
                     continue
                 iou, _ = ev.get_iou()
@@ -484,8 +500,9 @@ class Trainer:
                 float(losses[-17])  # lagged sync: bound in-flight batches, no bubble
         if not cms:
             return 0.0, 0.0
-        # one device-side reduction + one fetch each at epoch end
-        ev.add_confusion(sum(cms[1:], start=cms[0]))
+        # device-side reduction in overflow-safe chunks; one fetch per chunk
+        # (one total for every realistic val set) at epoch end
+        _accumulate_cms(ev, cms, cfg.batch_size * cfg.height * cfg.width)
         miou, _ = ev.get_iou()
         return float(jnp.mean(jnp.stack(losses))), miou
 

@@ -119,15 +119,18 @@ def run_pipeline(
         if not done("single_cs"):
             print(f"[pipeline] single_cs: training -> {single.savedir}")
             results["single_cs"] = build_trainer(single).fit()
+        # the ft chain follows --order like the proposed chain does (the
+        # notebook records both 3-head ft chains, cells 21-22): ft_step2
+        # fine-tunes the order's second domain, ft_step3 its third
         ft2 = C.ft_step(
-            n_heads=2, savedir=stage_dir("ft_step2"),
+            order=order2, savedir=stage_dir("ft_step2"),
             state=os.path.join(stage_dir("single_cs"), "best"), **common,
         )
         if not done("ft_step2"):
             print(f"[pipeline] ft_step2: training -> {ft2.savedir}")
             results["ft_step2"] = build_trainer(ft2).fit()
         ft3 = C.ft_step(
-            n_heads=3, savedir=stage_dir("ft_step3"),
+            order=order3, savedir=stage_dir("ft_step3"),
             state=os.path.join(stage_dir("ft_step2"), "best"), **common,
         )
         if not done("ft_step3"):

@@ -16,6 +16,35 @@ def test_presets_default_num_classes_match_reference():
     assert C.singletask("IDD").num_classes == (27,)
 
 
+def test_ft_order_maps_to_domain_chain():
+    """ft --order exposes the reference ft trainers' --dataset-old/new domain
+    choice (main_ftp1_enc_newbn.py:463-499); the last domain is the one being
+    fine-tuned, so current_task must point at it."""
+    cfg = C.ft_step(order="CS_IDD")
+    assert cfg.datasets == ("cityscapes", "IDD")
+    assert cfg.num_classes == (20, 27)
+    assert cfg.model == "erfnet_ftp1" and cfg.current_task == 1
+
+    cfg = C.ft_step(order="CS_IDD_BDD")  # notebook cell 22's chain
+    assert cfg.datasets == ("cityscapes", "IDD", "BDD")
+    assert cfg.num_classes == (20, 27, 20)
+    assert cfg.model == "erfnet_ftp2" and cfg.current_task == 2
+
+    # defaults unchanged: no order behaves exactly like the old --heads-only CLI
+    assert C.ft_step().datasets == ("cityscapes", "BDD")
+    assert C.ft_step(order="CS_BDD_IDD").datasets == C.ft_step(3).datasets
+
+
+def test_ft_order_validation():
+    with pytest.raises(ValueError, match="unknown ft order"):
+        C.ft_step(order="BDD_CS")
+    # order and an inconsistent explicit n_heads must not silently pick one
+    with pytest.raises(ValueError, match="n_heads"):
+        C.ft_step(n_heads=3, order="CS_IDD")
+    # consistent pairing is fine
+    assert C.ft_step(n_heads=2, order="CS_IDD").num_classes == (20, 27)
+
+
 def test_num_classes_follows_datasets_override():
     """datasets=... without num_classes derives the right per-head counts
     instead of keeping the preset order's defaults."""

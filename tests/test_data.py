@@ -96,10 +96,13 @@ def test_cityscapes_index_conventions(tmp_path):
     assert src.pairs == sorted(src.pairs)
 
 
-def test_voc12_subset_layout(tmp_path, capsys):
+def test_voc12_subset_layout(tmp_path, capsys, monkeypatch):
     """VOC12: a <root>/<subset>/images|labels layout yields distinct splits;
-    the reference's flat layout (dataset.py:44-51 has no split dirs) warns
-    that a non-train subset aliases the training set."""
+    under the reference's flat layout (dataset.py:44-51 has no split dirs) a
+    non-train subset would silently alias the training set — that is an ERROR
+    unless explicitly opted into (a val metric must never silently be a train
+    metric)."""
+    import pytest
     from PIL import Image
 
     def fill(d, names):
@@ -117,6 +120,14 @@ def test_voc12_subset_layout(tmp_path, capsys):
 
     flat = tmp_path / "flat"
     fill(flat, ["x", "y"])
+    # flat 'train' is the reference layout and stays fine
+    assert len(make_source("VOC12", str(flat), "train")) == 2
+    # flat 'val' refuses by default...
+    monkeypatch.delenv("MDILSS_ALLOW_FLAT_VOC12", raising=False)
+    with pytest.raises(ValueError, match="SAME image set"):
+        make_source("VOC12", str(flat), "val")
+    # ...and aliases (with a warning) only under the explicit opt-in
+    monkeypatch.setenv("MDILSS_ALLOW_FLAT_VOC12", "1")
     va_flat = make_source("VOC12", str(flat), "val")
     assert len(va_flat) == 2
     assert "SAME image set" in capsys.readouterr().out

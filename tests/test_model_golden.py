@@ -121,15 +121,18 @@ def test_ftp1_heads_match_reference(rng):
 
 
 def test_converter_round_trip(rng):
-    """export_state_dict(convert_state_dict(sd)) == sd (up to num_batches_tracked)."""
+    """export_state_dict(convert_state_dict(sd)) == sd: the FULL reference key
+    set (incl. num_batches_tracked, whose value torch never reads at the
+    reference's default BN momentum), values exact up to that counter."""
     ref = load_reference_module("models/erfnet_RA_parallel.py")
     tmodel = ref.Net([20, 20, 27], nb_tasks=3, cur_task=2)
     sd = _np_state_dict(tmodel)
     params, state = convert_state_dict(sd, kind="rap", nb_tasks=3)
     back = export_state_dict(params, state, kind="rap")
-    ref_keys = {k for k in sd if "num_batches_tracked" not in k}
-    assert set(back) == ref_keys
-    for k in ref_keys:
+    assert set(back) == set(sd)
+    for k in sd:
+        if "num_batches_tracked" in k:
+            continue
         np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
 
 
@@ -140,7 +143,7 @@ def test_init_shapes_match_reference(rng):
     sd = _np_state_dict(tmodel)
     params, state = erfnet_rap.init(jax.random.key(0), [20, 20], 2)
     ours = export_state_dict(params, state, kind="rap")
-    ref_keys = {k for k in sd if "num_batches_tracked" not in k}
-    assert set(ours) == ref_keys
-    for k in ref_keys:
-        assert ours[k].shape == sd[k].shape, k
+    assert set(ours) == set(sd)
+    for k in sd:
+        if "num_batches_tracked" not in k:
+            assert ours[k].shape == sd[k].shape, k

@@ -53,6 +53,37 @@ def test_pipeline_skips_finished_stage(tmp_path, capsys):
     assert "step1" not in results and "step2" in results
 
 
+def test_pipeline_baseline_chain_follows_order(monkeypatch, tmp_path):
+    """--with-baselines derives the ft chain from --order (notebook cell 22's
+    CS|IDD->BDD ft baseline must be producible by `pipeline --order
+    CS_IDD_BDD --with-baselines`), not the hardcoded CS,BDD,IDD."""
+    from mdilss_tpu.train import pipeline as P
+
+    seen = {}
+
+    class _Dummy:
+        def __init__(self, cfg):
+            self.cfg = cfg
+
+        def fit(self):
+            return {}
+
+    def fake_build(cfg):
+        seen[os.path.basename(cfg.savedir)] = cfg
+        return _Dummy(cfg)
+
+    monkeypatch.setattr(P, "build_trainer", fake_build)
+    P.run_pipeline(order="CS_IDD_BDD", savedir=str(tmp_path),
+                   with_baselines=True, common=TINY)
+    assert seen["step2"].datasets == ("cityscapes", "IDD")
+    assert seen["step3"].datasets == ("cityscapes", "IDD", "BDD")
+    assert seen["ft_step2"].datasets == ("cityscapes", "IDD")
+    assert seen["ft_step2"].num_classes == (20, 27)
+    assert seen["ft_step3"].datasets == ("cityscapes", "IDD", "BDD")
+    assert seen["ft_step3"].num_classes == (20, 27, 20)
+    assert seen["ft_step3"].current_task == 2  # BDD is the head being trained
+
+
 def test_pipeline_stage_subset_requires_predecessor(tmp_path):
     """--stages step3 without step2's checkpoint on disk must fail loudly —
     state=None would otherwise silently distill against a random teacher."""

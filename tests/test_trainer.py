@@ -223,3 +223,27 @@ def test_profiler_trace_written(tmp_path):
     tr.fit()
     found = [f for _, _, fs in os.walk(tmp_path / "trace") for f in fs]
     assert any(f.endswith((".trace.json.gz", ".xplane.pb")) for f in found), found
+
+
+def test_accumulate_cms_is_overflow_safe():
+    """Epoch confusion-matrix accumulation must not wrap int32: with x64
+    disabled the per-batch device matrices are int32, and a val set with
+    >2^31 pixels in one cell would silently go negative under a naive
+    device-side sum (round-4 advisor finding). _accumulate_cms chunks the
+    device reduction so each partial sum stays below 2^31 and accumulates the
+    chunks on host in int64."""
+    import jax.numpy as jnp
+
+    from mdilss_tpu.metrics import IoUEvaluator
+    from mdilss_tpu.train.loop import _accumulate_cms
+
+    batch_pixels = 2**30  # each batch puts 2^30 counts in cell (0,0)
+    cm = jnp.zeros((3, 3), jnp.int32).at[0, 0].set(batch_pixels)
+    cms = [cm, cm, cm]  # naive int32 sum: 3*2^30 wraps negative
+
+    ev = IoUEvaluator(3, ignore_index=2)
+    _accumulate_cms(ev, cms, batch_pixels)
+    assert ev._cm[0, 0] == 3 * 2**30  # > int32 max, exact in int64
+
+    # sanity on the naive sum actually wrapping (guards the test's premise)
+    assert int((cm + cm + cm)[0, 0]) < 0
