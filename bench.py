@@ -1,6 +1,9 @@
 """Benchmark: ERFNet-RAP incremental-training throughput on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Prints ONE compact JSON line: {"metric", "value", "unit", "vs_baseline",
+...numeric extras}; the full result including the methodology notes is
+written to bench_full.json (--json-out) — the printed line stays small so
+the driver's bounded stdout-tail window always holds the whole line.
 
 Headline metric — step-2 (CS->BDD) TRAINING throughput, images/sec/chip, at
 the reference configuration: 512x1024 inputs, batch 6, the full proposed
@@ -86,6 +89,10 @@ def build_args():
     p.add_argument("--height", type=int, default=512)
     p.add_argument("--width", type=int, default=1024)
     p.add_argument("--dtype", default=os.environ.get("MDILSS_BENCH_DTYPE", "bf16"))
+    p.add_argument("--json-out", default=None, dest="json_out",
+                   help="write the FULL result JSON (incl. methodology notes) "
+                        "here (default bench_full.json); the printed line "
+                        "carries the numbers only")
     return p
 
 
@@ -473,11 +480,43 @@ def main(args) -> None:
                             "single-chip projection uses the hybrid-cache arm "
                             "(58.5% cached, rest streamed — the honest one-chip "
                             "input path for IDD's ~13.7 GiB); mesh-cache "
-                            "projection assumes the set fits sharded (v4-8)",
+                            "projection assumes the set fits sharded (v4-8). "
+                            "CAVEAT: the streamed fraction here rides the dev "
+                            "tunnel's ~100 MB/s H2D; a production host's "
+                            "PCIe/DMA rates would push the single-chip "
+                            "projection toward the cached number",
             "device": str(jax.devices()[0]),
         },
     }
-    print(json.dumps(result))
+    emit_result(result, args)
+
+
+# Keys whose values are measurement prose, not numbers: they live in the full
+# JSON artifact only. The driver stores a bounded TAIL of stdout and parses
+# its last line — round 4's line outgrew that window and parsed as null, so
+# the printed line must stay compact (the numbers) while the notes go to the
+# artifact file.
+_NOTE_KEYS = ("trainer_tax_note", "roofline_note", "step3_source",
+              "baseline_source", "infer_path", "trainer_epoch_samples_s")
+
+
+def emit_result(result: dict, args) -> None:
+    """Write the FULL result (notes included) to --json-out, then print the
+    compact one-line JSON as the very last line of stdout (stderr flushed
+    first so late library warnings cannot interleave into it)."""
+    out_path = getattr(args, "json_out", None) or "bench_full.json"
+    try:
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=2)
+    except OSError as e:
+        print(f"note: could not write {out_path}: {e}", file=sys.stderr)
+    compact = dict(result)
+    compact["extras"] = {k: v for k, v in result.get("extras", {}).items()
+                         if k not in _NOTE_KEYS}
+    compact["extras"]["full_json"] = out_path
+    sys.stderr.flush()
+    sys.stdout.flush()
+    print(json.dumps(compact), flush=True)
 
 
 def mesh_bench(args) -> None:

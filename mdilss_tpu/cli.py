@@ -105,6 +105,10 @@ def main(argv=None):
     p3.add_argument("--order", choices=("CS_BDD_IDD", "CS_IDD_BDD"), default="CS_BDD_IDD")
     p3.add_argument("--single-phase", action="store_true",
                     help="fused single-backward variant instead of the faithful two-phase step")
+    p3.add_argument("--teacher-dropout", action="store_true",
+                    help="live Dropout2d on the teacher's KD forwards (the "
+                         "reference's train-mode model_old; measured "
+                         "immaterial — see docs/DESIGN.md)")
     p3.add_argument("--model", choices=_MODELS, default="erfnet_RA_parallel")
     _add_common(p3)
 
@@ -510,7 +514,11 @@ def main(argv=None):
     elif args.cmd == "step2":
         cfg = C.step2(order=args.order, model=args.model, **kw)
     elif args.cmd == "step3":
+        if args.teacher_dropout and args.single_phase:
+            raise SystemExit("--teacher-dropout requires the faithful "
+                             "two-phase step (drop --single-phase)")
         cfg = C.step3(order=args.order, two_phase=not args.single_phase,
+                      teacher_dropout=args.teacher_dropout,
                       model=args.model, **kw)
     elif args.cmd == "multitask":
         cfg = C.multitask(pretrained_encoder=args.pretrained_encoder, **kw)

@@ -38,6 +38,11 @@ class TrainConfig:
     lambda_c: float = 0.1  # KLD weight (train_new_task_step2.py:562)
     kld: str = "faithful"  # | corrected
     two_phase: bool = True  # step 3 only: reproduce the 2-optimizer-step batch
+    # step 3 only: live Dropout2d on the teacher's KD-target forwards (the
+    # reference's model_old never leaves train mode, train_new_task_step3.py:
+    # 534-549). Off by default — measured immaterial (docs/DESIGN.md "Step-3
+    # teacher dropout"); flip on for a bit-faithful noise model.
+    teacher_dropout: bool = False
     eval_every: int = 1  # epochs between current-task validations
     eval_old_every: int = 1  # step2: every epoch; step3 used 10
     iou_train: bool = False  # compute train IoU in the train step (--iouTrain)
@@ -75,6 +80,12 @@ class TrainConfig:
             raise ValueError(
                 f"datasets {self.datasets} and num_classes {self.num_classes} "
                 f"must have the same length (one head per task)"
+            )
+        if self.teacher_dropout and not self.two_phase:
+            raise ValueError(
+                "teacher_dropout is a step-3 two-phase fidelity option "
+                "(train_new_task_step3.py's train-mode model_old); the fused "
+                "single-phase step does not implement it"
             )
 
     def shared_lr_value(self) -> float:

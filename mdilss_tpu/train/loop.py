@@ -332,7 +332,8 @@ class Trainer:
                 steps.make_two_phase_distill_step(
                     apply_fn, current_task=cur, prev_tasks=prev,
                     class_weight=self._weight(cur_ds), lambda_c=cfg.lambda_c,
-                    kld_fn=kld_fn, **common,
+                    kld_fn=kld_fn, teacher_dropout=cfg.teacher_dropout,
+                    **common,
                 ),
                 self.mesh,
             )
@@ -444,6 +445,11 @@ class Trainer:
         step = self.train_steps[dataset]
         if self.teacher is not None and self.cfg.protocol in ("step2", "step3"):
             n_fwd = 1 + self.cfg.current_task
+            if (self.cfg.protocol == "step3" and self.cfg.two_phase
+                    and self.cfg.teacher_dropout):
+                # teacher forwards draw their own independent masks, appended
+                # after the student's (steps.make_two_phase_distill_step)
+                n_fwd += self.cfg.current_task
             masks = [make_dropout_masks(self._np_rng, x.shape[0]) for _ in range(n_fwd)]
             self.ts, m = step(self.ts, self.teacher, x, y, masks, k_step, epoch)
         else:

@@ -220,6 +220,7 @@ def make_two_phase_distill_step(
     weight_decay: float = 1e-4,
     iou_train: bool = False,
     teacher_training: bool = True,
+    teacher_dropout: bool = False,
 ):
     """Faithful step-3 trajectory: backward+Adam on CE, then backward+Adam on
     lambda_c * (sum of previous-task KLDs) against the updated weights —
@@ -233,19 +234,34 @@ def make_two_phase_distill_step(
     running stats. That is what produced the paper numbers, so it is the
     default here; the teacher's running-stat buffers do update in the
     reference but are never read (the teacher is never evaluated) and are
-    therefore not threaded out. The reference teacher also had ACTIVE dropout
-    (another train-mode consequence) — a pure noise source on the KD target
-    that is not reproduced (our teacher forward gets no dropout rng);
+    therefore not threaded out.
+
+    The reference teacher also had ACTIVE Dropout2d (the other train-mode
+    consequence) — independent channel noise on the KD target. That is off by
+    default here; `teacher_dropout=True` reproduces it by feeding the teacher
+    forwards their own host-generated masks (the step's `masks` argument then
+    carries 1 + 2*len(prev_tasks) mask dicts: student forwards first, then
+    one per teacher forward). Measured A/B on the learnable synthetic task
+    (tools/teacher_dropout_exp.py, docs/DESIGN.md "Step-3 teacher dropout"):
+    the noise is immaterial to final quality, hence the cleaner default.
     `teacher_training=False` gives the step-2-style eval-mode teacher.
 
-    step(ts, teacher, images, labels, rng, epoch) -> (ts', metrics)
+    step(ts, teacher, images, labels, masks, rng, epoch) -> (ts', metrics)
     """
+    if teacher_dropout and not teacher_training:
+        raise ValueError(
+            "teacher_dropout=True requires teacher_training=True (dropout is "
+            "a train-mode behavior; the reference's eval-mode teacher in "
+            "step 2 has neither)"
+        )
     class_weight = _host_const(class_weight)
     t_apply = apply_fn
 
+    n_masks = 1 + len(prev_tasks) * (2 if teacher_dropout else 1)
+
     def step(ts: TrainState, teacher: ModelState, images, labels, masks, rng, epoch):
         rngs = _split(rng, 1 + len(prev_tasks))
-        mask_list = masks if isinstance(masks, (list, tuple)) else [masks] * (1 + len(prev_tasks))
+        mask_list = masks if isinstance(masks, (list, tuple)) else [masks] * n_masks
         lr_scale = poly_lr_factor(epoch, num_epochs)
 
         labels_p = pack_subpixel_targets(labels)
@@ -275,9 +291,13 @@ def make_two_phase_distill_step(
                 )
                 s_logits, bn = prev_fwd(p, bn, images, rngs[1 + i], mask_list[1 + i])
                 # teacher_training=True: batch-stat BN, updated stats discarded
-                # (never read by the reference either); no dropout rng
+                # (never read by the reference either); dropout only under
+                # teacher_dropout (its masks follow the student's in the list)
+                t_masks = (mask_list[1 + len(prev_tasks) + i]
+                           if teacher_dropout else None)
                 t_logits, _ = t_apply(teacher.params, teacher.bn, images, t,
                                       training=teacher_training, rng=None,
+                                      drop_masks=t_masks,
                                       packed_head=True, input_folded=folded)
                 kld = kld + kld_fn(s_logits, jax.lax.stop_gradient(t_logits))
             return lambda_c * kld, (bn, kld)

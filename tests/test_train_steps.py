@@ -876,3 +876,60 @@ def test_two_phase_step_applies_two_optimizer_updates():
     ts2, m = jax.jit(step)(ts, steps.ModelState(tp, tb), x, y, None, jax.random.key(4), 1)
     assert int(ts2.opt.count) == 2  # two Adam applications per batch (faithful)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_teacher_dropout_step_semantics():
+    """teacher_dropout: the teacher's KD forwards get their own masks (list
+    slots after the student's). The noise must reach ONLY the KD phase — the
+    CE phase's loss is teacher-independent — and the step stays deterministic
+    in the masks. teacher_training=False + teacher_dropout is contradictory
+    (dropout is train-mode behavior) and must be rejected at build time."""
+    from mdilss_tpu.models.topology import make_dropout_masks
+
+    params, bn = erfnet_rap.init(jax.random.key(0), [6, 6, 8], 3)
+    lr_tree = masks.rap_lr_tree(params, current_task=2, shared_lr=5e-6, ds_lr=5e-4)
+    w = jnp.ones(8).at[7].set(0.0)
+    common = dict(current_task=2, prev_tasks=(1, 0), class_weight=w,
+                  lr_tree=lr_tree, num_epochs=10)
+    step_plain = steps.make_two_phase_distill_step(erfnet_rap.apply, **common)
+    step_tdrop = steps.make_two_phase_distill_step(
+        erfnet_rap.apply, teacher_dropout=True, **common)
+
+    tp, tb = erfnet_rap.init(jax.random.key(1), [6, 6], 2)
+    teacher = steps.ModelState(tp, tb)
+    x = jax.random.normal(jax.random.key(2), (2, 32, 64, 3))
+    y = jax.random.randint(jax.random.key(3), (2, 32, 64), 0, 8)
+    r = np.random.default_rng(0)
+    student_masks = [make_dropout_masks(r, 2) for _ in range(3)]
+    tm1 = [make_dropout_masks(r, 2) for _ in range(2)]
+    tm2 = [make_dropout_masks(r, 2) for _ in range(2)]
+
+    ts = steps.init_train_state(params, bn)
+    _, m_plain = jax.jit(step_plain)(ts, teacher, x, y, student_masks, None, 1)
+    ts = steps.init_train_state(params, bn)
+    _, m_t1 = jax.jit(step_tdrop)(ts, teacher, x, y, student_masks + tm1, None, 1)
+    ts = steps.init_train_state(params, bn)
+    _, m_t1b = jax.jit(step_tdrop)(ts, teacher, x, y, student_masks + tm1, None, 1)
+    ts = steps.init_train_state(params, bn)
+    _, m_t2 = jax.jit(step_tdrop)(ts, teacher, x, y, student_masks + tm2, None, 1)
+
+    # CE phase never sees the teacher: identical across all variants
+    assert float(m_plain["ce"]) == float(m_t1["ce"]) == float(m_t2["ce"])
+    # the teacher noise reaches the KD target...
+    assert float(m_t1["kld"]) != float(m_plain["kld"])
+    assert float(m_t1["kld"]) != float(m_t2["kld"])
+    # ...deterministically in the masks
+    assert float(m_t1["kld"]) == float(m_t1b["kld"])
+
+    with pytest.raises(ValueError, match="teacher_training"):
+        steps.make_two_phase_distill_step(
+            erfnet_rap.apply, teacher_dropout=True, teacher_training=False,
+            **common)
+
+
+def test_teacher_dropout_config_requires_two_phase():
+    from mdilss_tpu import config as C
+
+    with pytest.raises(ValueError, match="two-phase"):
+        C.step3(two_phase=False, teacher_dropout=True)
+    assert C.step3(teacher_dropout=True).teacher_dropout is True
