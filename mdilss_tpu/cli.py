@@ -282,6 +282,8 @@ def main(argv=None):
     pb.add_argument("--bench-dtype", choices=("bf16", "f32"),
                     default=None, dest="bench_dtype",
                     help="compute dtype for the bench arms (bench.py --dtype)")
+    pb.add_argument("--json-out", default=None, dest="bench_json_out",
+                    help="write the full result JSON here (bench.py --json-out)")
 
     args = parser.parse_args(argv)
 
@@ -330,7 +332,7 @@ def main(argv=None):
         for src, dst in (("mesh", "mesh"), ("steps", "steps"),
                          ("passes", "passes"), ("bench_batch", "batch"),
                          ("bench_height", "height"), ("bench_width", "width"),
-                         ("bench_dtype", "dtype")):
+                         ("bench_dtype", "dtype"), ("bench_json_out", "json_out")):
             v = getattr(args, src, None)
             if v is not None:
                 setattr(bargs, dst, v)

@@ -111,6 +111,12 @@ def train_teacher():
 
 
 def run_arm(teacher_p, teacher_b, *, teacher_dropout: bool) -> dict:
+    # fresh buffers per arm: the jitted step donates the student state, whose
+    # shared-weight leaves alias the surgery inputs — without copies, arm 1's
+    # donation deletes arm 2's teacher (train/protocols.py documents the same
+    # hazard for the production path)
+    teacher_p = jax.tree.map(jnp.array, teacher_p)
+    teacher_b = jax.tree.map(jnp.array, teacher_b)
     student_p, student_b = extend_for_new_task(
         teacher_p, teacher_b, NC, jax.random.key(3)
     )
