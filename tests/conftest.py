@@ -24,6 +24,9 @@ os.makedirs("/tmp/mdilss_xla_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/mdilss_xla_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+import time
+import warnings
+
 import numpy as np
 import pytest
 
@@ -31,3 +34,32 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "budget_s(seconds): wall-clock budget for the test (measured on the "
+        "1-CPU reference host, warm XLA cache, ~2x headroom). Over budget "
+        "warns by default — a trainer-speed regression then shows up as a "
+        "test-time anomaly (round-4 verdict #7) — and fails under "
+        "MDILSS_ENFORCE_BUDGETS=1.",
+    )
+
+
+@pytest.fixture(autouse=True)
+def _budget_guard(request):
+    m = request.node.get_closest_marker("budget_s")
+    if not m:
+        yield
+        return
+    t0 = time.time()
+    yield
+    dt = time.time() - t0
+    budget = float(m.args[0])
+    if dt > budget:
+        msg = (f"{request.node.nodeid}: took {dt:.0f}s, over its {budget:.0f}s "
+               f"budget — trainer/step speed regression, or a loaded host")
+        if os.environ.get("MDILSS_ENFORCE_BUDGETS"):
+            pytest.fail(msg)
+        warnings.warn(msg)

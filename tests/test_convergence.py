@@ -48,6 +48,7 @@ def test_step2_distill_converges(tmp_path):
     assert np.isfinite(final["train_kld"])
 
 
+@pytest.mark.budget_s(1500)  # measured 753s r5 (1-CPU host, warm cache); ~2x headroom
 def test_step3_two_phase_converges(tmp_path):
     """Step 3's default two-optimizer-step trajectory (CE backward+step, then
     the summed prev-task KLDs backward+step against the already-updated
@@ -64,6 +65,7 @@ def test_step3_two_phase_converges(tmp_path):
     assert np.isfinite(final["train_kld"])
 
 
+@pytest.mark.budget_s(1500)  # measured 729s r5 (1-CPU host, warm cache); ~2x headroom
 def test_multitask_converges_per_domain(tmp_path):
     """Round-robin joint training (train_multi_task.py:241-265) must learn
     EVERY domain — the gate is per-domain, so round-robin starvation (e.g. a
@@ -92,6 +94,7 @@ def test_ft_converges(tmp_path):
     assert tr.best_acc >= 0.30, f"val mIoU {tr.best_acc:.4f} below convergence gate"
 
 
+@pytest.mark.budget_s(1100)  # measured 528s r5 (1-CPU host, warm cache); ~2x headroom
 def test_fe_converges_from_trained_encoder(tmp_path):
     """Feature-extraction baseline (--finetune absent, new decoder only,
     main_ftp1_enc_newbn.py:235-242). FE always starts from a trained CS

@@ -430,12 +430,18 @@ def test_composed_eval_parity_erfnet_f64(parity_setup):
 
 
 @pytest.mark.slow
-def test_composed_eval_parity_voc12_f64(parity_setup, tmp_path):
+def test_composed_eval_parity_voc12_f64(parity_setup, tmp_path, monkeypatch):
     """Composed parity for the VOC12 convention — the last dataset_custom
     class (dataset_custom.py:43-73): FLAT <root>/images/*.jpg +
     <root>/labels/*.png keyed off the LABEL basenames, JPEG image decode,
     21 classes — over a plain erfnet head. Locks the jpeg decode path and
-    the label-keyed pairing (data/sources.py voc12_index) end to end."""
+    the label-keyed pairing (data/sources.py voc12_index) end to end.
+
+    Evaluating a non-train subset of the reference's FLAT layout (identical
+    to its train set) is exactly the aliasing data/sources.py now refuses by
+    default — this parity comparison is the legitimate use, so it runs under
+    the explicit opt-in."""
+    monkeypatch.setenv("MDILSS_ALLOW_FLAT_VOC12", "1")
     s = parity_setup
     NUMC_VOC = 21
     root = str(tmp_path / "voc")
