@@ -36,6 +36,21 @@ def rng():
     return np.random.default_rng(0)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jax_cache_growth():
+    """Clear jax's in-process executable/trace caches after every test module.
+
+    Two independent full-suite runs (259 tests, one process) segfaulted in
+    arbitrary eager-dispatch calls after ~2.3 h — reproducibly at the same
+    test given the same preceding sequence, every crashed test green
+    standalone, 128 GB RAM free. The common factor is thousands of live
+    compiled executables accumulated in one XLA CPU client. Bounding that
+    growth per module costs little (the persistent disk cache makes
+    recompiles cheap) and removes the only unbounded in-process state."""
+    yield
+    jax.clear_caches()
+
+
 def pytest_configure(config):
     config.addinivalue_line(
         "markers",
