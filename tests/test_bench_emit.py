@@ -77,3 +77,19 @@ def test_emit_result_survives_unwritable_artifact(capsys):
                        "vs_baseline": 1.0, "extras": {}}, A())
     out = capsys.readouterr().out.strip().splitlines()[-1]
     assert json.loads(out)["value"] == 1.0
+
+
+def test_real_r5_artifact_compact_line_fits_tail_window(tmp_path, capsys):
+    """The committed round-5 artifact, re-emitted, must produce a printed line
+    comfortably inside the driver's observed ~1.8 KB stdout-tail window —
+    if extras grow past this, move keys into _NOTE_KEYS instead."""
+    bench = _bench()
+    full = json.load(open(os.path.join(REPO, "docs", "bench_r05.json")))
+
+    class A:
+        json_out = str(tmp_path / "full.json")
+
+    bench.emit_result(full, A())
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(line)["value"] == full["value"]
+    assert len(line) < 1500, len(line)
